@@ -1,0 +1,349 @@
+"""Vectorized numpy kernels over packed posting arrays.
+
+These are the per-partition compute kernels the Spark engine runs inside
+Arrow-batched pandas UDFs / ``applyInPandas``. All operate on sorted
+``uint64`` packed posting arrays in the 28/18/18 layout (see
+``constants.py``). Semantics re-derived from the reference engine's
+documented behavior (searcharray):
+
+- encode/decode:      /root/reference/searcharray/roaringish/roaringish.py:93-166
+- term freqs:         /root/reference/searcharray/roaringish/roaringish.py:168-170
+- bigram matching:    /root/reference/searcharray/phrase/bigram_freqs.py:104-307
+- phrase chaining:    /root/reference/searcharray/phrase/middle_out.py:96-168
+
+No code is copied from the reference; the kernels are fresh numpy
+implementations of the same observable semantics (verified by ported
+test expectations in tests/).
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from .constants import (
+    ADJ_BIT,
+    HEADER_MASK,
+    KEY_SHIFT,
+    MAX_POSN,
+    MSB_SHIFT,
+    PAYLOAD_LSB_MASK,
+)
+
+_1 = np.uint64(1)
+_0 = np.uint64(0)
+BLOCK_ONE = _1 << MSB_SHIFT  # header increment for adjacent posn blocks
+
+_EMPTY_U64 = np.zeros(0, dtype=np.uint64)
+_EMPTY_I64 = np.zeros(0, dtype=np.int64)
+
+# ---------------------------------------------------------------------------
+# popcount
+# ---------------------------------------------------------------------------
+
+if hasattr(np, "bitwise_count"):
+    def popcount64(arr: np.ndarray) -> np.ndarray:
+        return np.bitwise_count(arr).astype(np.int64)
+else:  # pragma: no cover - numpy < 2 fallback
+    _LUT = np.array([bin(i).count("1") for i in range(65536)], dtype=np.int64)
+
+    def popcount64(arr: np.ndarray) -> np.ndarray:
+        a = arr.astype(np.uint64)
+        out = _LUT[(a & np.uint64(0xFFFF)).astype(np.int64)]
+        for shift in (16, 32, 48):
+            out = out + _LUT[((a >> np.uint64(shift)) & np.uint64(0xFFFF)).astype(np.int64)]
+        return out
+
+
+# ---------------------------------------------------------------------------
+# field accessors
+# ---------------------------------------------------------------------------
+
+def keys(packed: np.ndarray) -> np.ndarray:
+    """Doc ids (within block) of each packed word."""
+    return (packed >> KEY_SHIFT).astype(np.int64)
+
+
+def headers(packed: np.ndarray) -> np.ndarray:
+    return packed & HEADER_MASK
+
+
+def lsb(packed: np.ndarray) -> np.ndarray:
+    return packed & PAYLOAD_LSB_MASK
+
+
+# ---------------------------------------------------------------------------
+# encode / decode
+# ---------------------------------------------------------------------------
+
+def encode(doc_ids: np.ndarray, posns: np.ndarray) -> np.ndarray:
+    """Pack (doc_id, position) pairs into a sorted uint64 posting array.
+
+    ``doc_ids`` are block-local (< 2**28); ``posns`` must be <= MAX_POSN.
+    One output word per (doc, posn-block) with an 18-bit position bitmask.
+    """
+    if len(doc_ids) == 0:
+        return _EMPTY_U64
+    d = np.asarray(doc_ids, dtype=np.uint64)
+    p = np.asarray(posns, dtype=np.uint64)
+    hdr = (d << KEY_SHIFT) | ((p // np.uint64(18)) << MSB_SHIFT)
+    bits = _1 << (p % np.uint64(18))
+    order = np.argsort(hdr, kind="stable")
+    hdr = hdr[order]
+    bits = bits[order]
+    starts = np.concatenate(([0], np.flatnonzero(np.diff(hdr)) + 1))
+    merged = np.bitwise_or.reduceat(bits, starts)
+    return hdr[starts] | merged
+
+
+def decode(packed: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Unpack to flat (doc_ids, posns) arrays, ordered by (doc, posn)."""
+    if len(packed) == 0:
+        return _EMPTY_I64, _EMPTY_I64
+    counts = popcount64(lsb(packed))
+    doc = np.repeat(keys(packed), counts)
+    # expand each word's set bits; nonzero() walks row-major == ascending
+    bitpos = np.arange(18, dtype=np.uint64)
+    expanded = (lsb(packed)[:, None] >> bitpos[None, :]) & _1  # (n_words, 18)
+    _, cols = np.nonzero(expanded)
+    blocks = ((packed >> MSB_SHIFT) & np.uint64((1 << 18) - 1)).astype(np.int64)
+    posns = np.repeat(blocks, counts) * 18 + cols.astype(np.int64)
+    return doc, posns
+
+
+def termfreqs(packed: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-doc term frequency: (doc_ids, tf) with doc_ids sorted unique."""
+    if len(packed) == 0:
+        return _EMPTY_I64, _EMPTY_I64
+    k = keys(packed)
+    starts = np.concatenate(([0], np.flatnonzero(np.diff(k)) + 1))
+    tf = np.add.reduceat(popcount64(lsb(packed)), starts)
+    return k[starts], tf
+
+
+def docfreq(packed: np.ndarray) -> int:
+    """Number of distinct docs in a packed posting array."""
+    if len(packed) == 0:
+        return 0
+    k = keys(packed)
+    return int(1 + np.count_nonzero(np.diff(k)))
+
+
+def slice_keys(packed: np.ndarray, doc_ids: np.ndarray) -> np.ndarray:
+    """Semi-join: keep words whose doc id is in ``doc_ids`` (sorted unique)."""
+    if len(packed) == 0 or len(doc_ids) == 0:
+        return _EMPTY_U64
+    k = keys(packed)
+    mask = np.isin(k, doc_ids, assume_unique=False)
+    return packed[mask]
+
+
+def slice_posn_window(packed: np.ndarray, min_posn: Optional[int], max_posn: Optional[int]) -> np.ndarray:
+    """Keep only posn blocks within [min_posn, max_posn].
+
+    Mirrors the reference's constraint that min_posn % 18 == 0 and
+    max_posn % 18 == 17 (payload-block granularity,
+    /root/reference/searcharray/roaringish/roaringish.py:267-282).
+    """
+    if min_posn is None and max_posn is None:
+        return packed
+    blocks = ((packed >> MSB_SHIFT) & np.uint64((1 << 18) - 1)).astype(np.int64)
+    mask = np.ones(len(packed), dtype=bool)
+    if min_posn is not None:
+        if min_posn % 18 != 0:
+            raise ValueError("min_posn must be a multiple of 18")
+        mask &= blocks >= (min_posn // 18)
+    if max_posn is not None:
+        if max_posn % 18 != 17:
+            raise ValueError("max_posn must be a multiple of 18 minus 1 (e.g. 17)")
+        mask &= blocks <= (max_posn // 18)
+    return packed[mask]
+
+
+# ---------------------------------------------------------------------------
+# bigram / phrase matching
+# ---------------------------------------------------------------------------
+
+def _ceil_half(x: np.ndarray) -> np.ndarray:
+    return -np.floor_divide(x, -2)
+
+
+def _sum_by_id(ids: np.ndarray, counts: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Group-sum counts by sorted ids."""
+    if len(ids) == 0:
+        return _EMPTY_I64, _EMPTY_I64
+    starts = np.concatenate(([0], np.flatnonzero(np.diff(ids)) + 1))
+    return ids[starts], np.add.reduceat(counts, starts)
+
+
+def _outer_sum(ids_a, counts_a, ids_b, counts_b) -> Tuple[np.ndarray, np.ndarray]:
+    """Full-outer merge of two (ids, counts) pairs, summing on matches."""
+    if len(ids_a) == 0:
+        return ids_b, counts_b
+    if len(ids_b) == 0:
+        return ids_a, counts_a
+    ids = np.concatenate((ids_a, ids_b))
+    counts = np.concatenate((counts_a, counts_b))
+    order = np.argsort(ids, kind="stable")
+    return _sum_by_id(ids[order], counts[order])
+
+
+def _min_intersect(ids, counts, new_ids, new_counts) -> Tuple[np.ndarray, np.ndarray]:
+    """AND-combine chain steps: intersect ids, count = min (reference
+    middle_out._intersect_bigram_matches)."""
+    if ids is None:
+        return new_ids, new_counts
+    common, ia, ib = np.intersect1d(ids, new_ids, assume_unique=True, return_indices=True)
+    return common, np.minimum(counts[ia], new_counts[ib])
+
+
+def _phrase_step(lhs: np.ndarray, rhs: np.ndarray, cont_lhs_side: bool):
+    """One bigram step of the phrase chain.
+
+    Counts per-doc adjacent-position matches between ``lhs`` and ``rhs``
+    (rhs position == lhs position + 1), including matches that cross the
+    18-posn block boundary, plus the continuation array for chaining:
+    RHS continuation = matched rhs positions; LHS continuation = matched
+    lhs positions. Same-term runs get the non-overlapping-run correction
+    (reference bigram_freqs._adj_to_phrase_freq).
+    """
+    if len(lhs) == 0 or len(rhs) == 0:
+        empty_cont = _EMPTY_U64
+        return _EMPTY_I64, _EMPTY_I64, empty_cont
+
+    h_l = headers(lhs)
+    h_r = headers(rhs)
+
+    # --- inner (same posn block) ---
+    common, li, ri = np.intersect1d(h_l, h_r, assume_unique=True, return_indices=True)
+    lhs_int = lhs[li]
+    rhs_int = rhs[ri]
+
+    inner_ids = _EMPTY_I64
+    inner_counts = _EMPTY_I64
+    cont_inner = _EMPTY_U64
+    if len(lhs_int):
+        same = np.array_equal(lhs_int, rhs_int)
+        l_bits = lsb(lhs_int)
+        r_bits = lsb(rhs_int)
+        hdr = lhs_int & HEADER_MASK
+        if same:
+            ov = l_bits & ((r_bits << _1) & PAYLOAD_LSB_MASK)
+            cnt = popcount64(ov)
+            consec = popcount64(ov & ((ov << _1) & PAYLOAD_LSB_MASK))
+            cnt = cnt - _ceil_half(consec)
+            if cont_lhs_side:
+                cont_inner = hdr | (l_bits & (l_bits >> _1))
+            else:
+                cont_inner = hdr | ((r_bits << _1) & r_bits & PAYLOAD_LSB_MASK)
+        else:
+            ov = l_bits & (r_bits >> _1)
+            cnt = popcount64(ov)
+            if cont_lhs_side:
+                cont_inner = hdr | ov
+            else:
+                cont_inner = hdr | ((ov << _1) & PAYLOAD_LSB_MASK)
+        inner_ids, inner_counts = _sum_by_id(keys(lhs_int), cnt)
+
+    # --- adjacent (consecutive posn blocks: lhs bit 17, rhs bit 0) ---
+    target = h_l + BLOCK_ONE
+    pos = np.searchsorted(h_r, target)
+    pos_clip = np.minimum(pos, len(h_r) - 1)
+    found = h_r[pos_clip] == target
+    lhs_adj = lhs[found]
+    rhs_adj = rhs[pos_clip[found]]
+    matches = ((lhs_adj & ADJ_BIT) != 0) & ((rhs_adj & _1) != 0)
+    lhs_adj = lhs_adj[matches]
+    rhs_adj = rhs_adj[matches]
+    adj_ids, adj_counts = _sum_by_id(keys(lhs_adj), np.ones(len(lhs_adj), dtype=np.int64))
+    if cont_lhs_side:
+        cont_adj = (lhs_adj & HEADER_MASK) | ADJ_BIT
+    else:
+        cont_adj = (rhs_adj & HEADER_MASK) | _1
+
+    ids, counts = _outer_sum(inner_ids, inner_counts, adj_ids, adj_counts)
+
+    # --- merge continuations (inner + adjacent may share a header) ---
+    if len(cont_adj):
+        if len(cont_inner):
+            hdr_inner = cont_inner & HEADER_MASK
+            hdr_adj = cont_adj & HEADER_MASK
+            _, ii, ai = np.intersect1d(hdr_inner, hdr_adj, assume_unique=True, return_indices=True)
+            if len(ii):
+                cont_inner = cont_inner.copy()
+                cont_inner[ii] |= ADJ_BIT if cont_lhs_side else _1
+                keep = np.ones(len(cont_adj), dtype=bool)
+                keep[ai] = False
+                cont_adj = cont_adj[keep]
+            cont = np.concatenate((cont_inner, cont_adj))
+            cont.sort()
+        else:
+            cont = cont_adj
+    else:
+        cont = cont_inner
+    return ids, counts, cont
+
+
+def phrase_freqs(encoded: List[np.ndarray]) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact-phrase per-doc frequencies over packed posting arrays.
+
+    Chain of bigram steps with continuation; per-doc count = min of the
+    per-step bigram counts on docs present in every step (reference
+    middle_out.compute_phrase_freqs, including its direction heuristic).
+    Returns (doc_ids, counts), doc_ids sorted.
+    """
+    if len(encoded) == 0:
+        return _EMPTY_I64, _EMPTY_I64
+    if len(encoded) == 1:
+        return termfreqs(encoded[0])
+    if any(len(e) == 0 for e in encoded):
+        return _EMPTY_I64, _EMPTY_I64
+    shortest = min(range(len(encoded)), key=lambda i: len(encoded[i]))
+    if shortest <= 1:
+        return _chain_l2r(encoded)
+    if shortest >= len(encoded) - 2:
+        return _chain_r2l(encoded)
+    l_ids, l_counts = _chain_l2r(encoded[:shortest])
+    r_ids, r_counts = _chain_r2l(encoded[shortest:])
+    ids, counts = _min_intersect(l_ids, l_counts, r_ids, r_counts)
+    return ids, counts
+
+
+def _chain_l2r(encoded: List[np.ndarray]) -> Tuple[np.ndarray, np.ndarray]:
+    if len(encoded) == 1:
+        return termfreqs(encoded[0])
+    ids = None
+    counts = None
+    lhs = encoded[0]
+    for rhs in encoded[1:]:
+        step_ids, step_counts, cont = _phrase_step(lhs, rhs, cont_lhs_side=False)
+        lhs = cont
+        ids, counts = _min_intersect(ids, counts, step_ids, step_counts)
+    return (ids, counts) if ids is not None else (_EMPTY_I64, _EMPTY_I64)
+
+
+def _chain_r2l(encoded: List[np.ndarray]) -> Tuple[np.ndarray, np.ndarray]:
+    if len(encoded) == 1:
+        return termfreqs(encoded[0])
+    ids = None
+    counts = None
+    rhs = encoded[-1]
+    for lhs in encoded[-2::-1]:
+        step_ids, step_counts, cont = _phrase_step(lhs, rhs, cont_lhs_side=True)
+        rhs = cont
+        ids, counts = _min_intersect(ids, counts, step_ids, step_counts)
+    return (ids, counts) if ids is not None else (_EMPTY_I64, _EMPTY_I64)
+
+
+# ---------------------------------------------------------------------------
+# packing helpers for Spark exchange (binary <-> uint64)
+# ---------------------------------------------------------------------------
+
+def to_bytes(packed: np.ndarray) -> bytes:
+    return packed.astype("<u8").tobytes()
+
+
+def from_bytes(raw: bytes) -> np.ndarray:
+    if raw is None or len(raw) == 0:
+        return _EMPTY_U64
+    return np.frombuffer(raw, dtype="<u8")
