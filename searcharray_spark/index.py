@@ -1,0 +1,290 @@
+"""Query side: SearchIndex over the on-disk index tables.
+
+API parity with the reference array surface
+(/root/reference/searcharray/postings.py:607-708 — termfreqs, docfreq,
+doclengths, positions, score) re-expressed as sparse DataFrames:
+results are (doc_id, tf|score) rows, never dense arrays, until a test
+helper densifies at small scale.
+
+Query execution model (no posting shuffle at query time):
+- postings scan is pruned to the query terms (parquet min/max on the
+  term-sorted files + pushed-down ``term IN (...)`` filter),
+- hits are computed block-locally by cogrouping query-term posting rows
+  with the block's packed doclens row (``applyInPandas`` over
+  ``block_id``), numpy kernels inside,
+- only (doc_id, score) survivors leave the kernel; global top-k is
+  Spark's TakeOrdered (per-partition top-k, then driver merge).
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterable, List, Optional, Sequence, Union
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    ArrayType, FloatType, IntegerType, LongType, StructField, StructType,
+)
+
+from . import kernels as K
+from . import similarity as sim_mod
+from . import tokenizers
+
+TokenArg = Union[str, Sequence[str]]
+
+HITS_SCHEMA = StructType([
+    StructField("token_idx", IntegerType()),
+    StructField("doc_id", LongType()),
+    StructField("tf", FloatType()),
+    StructField("score", FloatType()),
+])
+
+POSITIONS_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("posns", ArrayType(IntegerType())),
+])
+
+
+def _normalize_token(token: TokenArg) -> List[str]:
+    if isinstance(token, str):
+        return [token]
+    toks = list(token)
+    if not all(isinstance(t, str) for t in toks):
+        raise ValueError(f"expected str or list of str, got {token!r}")
+    return toks
+
+
+class SearchIndex:
+    """Handle to a built index (see indexing.build_index for the layout)."""
+
+    def __init__(self, spark: SparkSession, path: str, tokenizer=None):
+        self.spark = spark
+        self.path = path
+        with open(os.path.join(path, "meta.json")) as fh:
+            self.meta = json.load(fh)
+        self.docs_per_block = int(self.meta["docs_per_block"])
+        self.num_docs = int(self.meta["num_docs"])
+        self.avg_doc_len = float(self.meta["avg_doc_len"])
+        if tokenizer is not None:
+            self.tokenizer = tokenizers.resolve(tokenizer)
+        elif self.meta["tokenizer"] == "custom":
+            # built with an unregistered callable; query tokenization needs
+            # the caller to supply it again
+            self.tokenizer = None
+        else:
+            self.tokenizer = tokenizers.resolve(self.meta["tokenizer"])
+        self._df_cache: dict = {}
+
+    # --- tables -----------------------------------------------------------
+    @property
+    def postings(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "postings"))
+
+    @property
+    def doclens(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "doclens"))
+
+    @property
+    def docstats(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "docstats"))
+
+    @property
+    def term_stats(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "term_stats"))
+
+    # --- scalar stats -----------------------------------------------------
+    def docfreq(self, term: str) -> int:
+        return int(self.docfreqs([term])[term])
+
+    def docfreqs(self, terms: Iterable[str]) -> dict:
+        """Doc freq per term (missing -> 0); driver-side lookup, cached."""
+        terms = list(dict.fromkeys(terms))
+        missing = [t for t in terms if t not in self._df_cache]
+        if missing:
+            rows = self.term_stats.filter(F.col("term").isin(missing)) \
+                .select("term", "df").collect()
+            found = {r["term"]: int(r["df"]) for r in rows}
+            for t in missing:
+                self._df_cache[t] = found.get(t, 0)
+        return {t: self._df_cache[t] for t in terms}
+
+    def doclengths(self) -> DataFrame:
+        return self.docstats.select("doc_id", "doc_len")
+
+    @property
+    def avg_doc_length(self) -> float:
+        return self.avg_doc_len
+
+    # --- core query kernel ------------------------------------------------
+    def _hits(self, tokens: List[List[str]], similarity=None,
+              min_posn: Optional[int] = None, max_posn: Optional[int] = None,
+              slop: int = 0) -> DataFrame:
+        """(token_idx, doc_id, tf, score) for each query token (term or
+        phrase), computed block-locally."""
+        if slop != 0:
+            from .spans import span_freqs  # noqa: F401  (phase-4 kernel)
+        sim_fn = sim_mod.resolve(similarity)
+        all_terms = sorted({t for tok in tokens for t in tok})
+        if not all_terms:
+            return self.spark.createDataFrame([], HITS_SCHEMA)
+        dfs = self.docfreqs(all_terms)
+        num_docs = self.num_docs
+        avgdl = self.avg_doc_len
+        docs_per_block = self.docs_per_block
+        tokens_b = [list(t) for t in tokens]
+        dfs_b = dict(dfs)
+
+        def kernel(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            if len(left) == 0 or len(right) == 0:
+                return pd.DataFrame(
+                    {"token_idx": pd.Series([], dtype="int32"),
+                     "doc_id": pd.Series([], dtype="int64"),
+                     "tf": pd.Series([], dtype="float32"),
+                     "score": pd.Series([], dtype="float32")})
+            block_id = int(key[0])
+            base = block_id * docs_per_block
+            packed = {row.term: K.from_bytes(row.postings)
+                      for row in left.itertuples()}
+            dl_ids = np.frombuffer(right["doc_ids"].iloc[0], dtype="<i8")
+            dl_lens = np.frombuffer(right["doc_lens"].iloc[0], dtype="<f4")
+            out_tok, out_doc, out_tf, out_score = [], [], [], []
+            empty = np.zeros(0, dtype=np.uint64)
+            for idx, tok in enumerate(tokens_b):
+                encoded = [packed.get(t, empty) for t in tok]
+                if min_posn is not None or max_posn is not None:
+                    encoded = [K.slice_posn_window(e, min_posn, max_posn)
+                               for e in encoded]
+                if len(tok) == 1:
+                    ids, tfs = K.termfreqs(encoded[0])
+                elif slop == 0:
+                    ids, tfs = K.phrase_freqs(encoded)
+                else:
+                    from .spans import span_freqs
+                    ids, tfs = span_freqs(encoded, slop)
+                if len(ids) == 0:
+                    continue
+                keep = tfs > 0
+                ids, tfs = ids[keep], tfs[keep]
+                if len(ids) == 0:
+                    continue
+                tfs = tfs.astype(np.float32)
+                pos = np.searchsorted(dl_ids, ids)
+                dls = dl_lens[pos]
+                tok_dfs = np.asarray([dfs_b[t] for t in tok], dtype=np.float32)
+                scores = sim_fn(tfs, tok_dfs, dls, avgdl, num_docs)
+                out_tok.append(np.full(len(ids), idx, dtype=np.int32))
+                out_doc.append(ids + base)
+                out_tf.append(tfs)
+                out_score.append(np.asarray(scores, dtype=np.float32))
+            if not out_tok:
+                return pd.DataFrame(
+                    {"token_idx": pd.Series([], dtype="int32"),
+                     "doc_id": pd.Series([], dtype="int64"),
+                     "tf": pd.Series([], dtype="float32"),
+                     "score": pd.Series([], dtype="float32")})
+            return pd.DataFrame({
+                "token_idx": np.concatenate(out_tok),
+                "doc_id": np.concatenate(out_doc),
+                "tf": np.concatenate(out_tf),
+                "score": np.concatenate(out_score),
+            })
+
+        posts = self.postings.filter(F.col("term").isin(all_terms))
+        return posts.groupBy("block_id").cogroup(
+            self.doclens.groupBy("block_id")
+        ).applyInPandas(kernel, HITS_SCHEMA)
+
+    # --- public API -------------------------------------------------------
+    def termfreqs(self, token: TokenArg, min_posn: Optional[int] = None,
+                  max_posn: Optional[int] = None, slop: int = 0) -> DataFrame:
+        """Sparse per-doc term/phrase frequencies: (doc_id, tf)."""
+        toks = _normalize_token(token)
+        return self._hits([toks], min_posn=min_posn, max_posn=max_posn,
+                          slop=slop).select("doc_id", "tf")
+
+    def score(self, token: TokenArg, similarity=None, slop: int = 0,
+              min_posn: Optional[int] = None,
+              max_posn: Optional[int] = None) -> DataFrame:
+        """Sparse BM25 (or custom similarity) scores: (doc_id, score).
+
+        Phrase scoring: tf = phrase freq, idf sums the constituent terms'
+        dfs (reference postings.py:652-680).
+        """
+        toks = _normalize_token(token)
+        return self._hits([toks], similarity=similarity, slop=slop,
+                          min_posn=min_posn, max_posn=max_posn) \
+            .select("doc_id", "score")
+
+    def score_many(self, tokens: Sequence[TokenArg], similarity=None,
+                   slop: int = 0) -> DataFrame:
+        """Batch scoring of many tokens in one pass: (token_idx, doc_id,
+        tf, score). One postings scan + one kernel pass for the whole
+        query — the building block for boolean/edismax queries."""
+        toks = [_normalize_token(t) for t in tokens]
+        return self._hits(toks, similarity=similarity, slop=slop)
+
+    def top_k(self, token: TokenArg, k: int = 10, similarity=None,
+              slop: int = 0) -> DataFrame:
+        """Global top-k by score (ties broken by doc_id): distributed
+        per-partition top-k then driver merge (TakeOrderedAndProject)."""
+        return self.score(token, similarity=similarity, slop=slop) \
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def positions(self, term: str) -> DataFrame:
+        """Decoded positions per doc for one term (debug/API parity)."""
+        docs_per_block = self.docs_per_block
+
+        def decode_rows(it):
+            for pdf in it:
+                for row in pdf.itertuples():
+                    packed = K.from_bytes(row.postings)
+                    ids, posns = K.decode(packed)
+                    starts = np.concatenate(
+                        ([0], np.flatnonzero(np.diff(ids)) + 1, [len(ids)]))
+                    yield pd.DataFrame({
+                        "doc_id": ids[starts[:-1]] + row.block_id * docs_per_block,
+                        "posns": [posns[s:e].astype(np.int32)
+                                  for s, e in zip(starts[:-1], starts[1:])],
+                    })
+
+        return self.postings.filter(F.col("term") == term) \
+            .mapInPandas(decode_rows, POSITIONS_SCHEMA)
+
+    # --- boolean combinators (reference user-level AND/OR patterns,
+    #     test_search.py:146-204) -----------------------------------------
+    def search_or(self, tokens: Sequence[TokenArg], mm: int = 1,
+                  similarity=None) -> DataFrame:
+        """OR query: sum of per-token scores over docs matching >= mm
+        tokens. Returns (doc_id, score, n_matches)."""
+        hits = self.score_many(tokens, similarity=similarity)
+        return hits.groupBy("doc_id").agg(
+            F.sum("score").alias("score"),
+            F.countDistinct("token_idx").alias("n_matches"),
+        ).filter(F.col("n_matches") >= mm)
+
+    def search_and(self, tokens: Sequence[TokenArg], similarity=None) -> DataFrame:
+        return self.search_or(tokens, mm=len(tokens), similarity=similarity)
+
+    # --- dense helpers (test parity at small scale only) ------------------
+    def termfreqs_dense(self, token: TokenArg, **kw) -> np.ndarray:
+        rows = self.termfreqs(token, **kw).collect()
+        out = np.zeros(self.num_docs, dtype=np.float32)
+        for r in rows:
+            out[r["doc_id"]] = r["tf"]
+        return out
+
+    def score_dense(self, token: TokenArg, similarity=None, **kw) -> np.ndarray:
+        rows = self.score(token, similarity=similarity, **kw).collect()
+        out = np.zeros(self.num_docs, dtype=np.float32)
+        for r in rows:
+            out[r["doc_id"]] = r["score"]
+        return out
+
+    def doclengths_dense(self) -> np.ndarray:
+        rows = self.doclengths().collect()
+        out = np.zeros(self.num_docs, dtype=np.float32)
+        for r in rows:
+            out[r["doc_id"]] = r["doc_len"]
+        return out

@@ -1,0 +1,296 @@
+"""Distributed inverted-index construction.
+
+Spark-first dataflow (reference semantics: SearchArray.index,
+/root/reference/searcharray/postings.py:250-300 + indexing.py:235-295 —
+re-architected for a multi-executor cluster, not ported):
+
+1. doc ids: dense int64, deterministic (caller-provided column, or
+   range-partition + per-partition offsets over an order column).
+2. doc blocks: ``block_id = doc_id // docs_per_block`` — the unit of build
+   parallelism AND the query-time partitioning of the doc axis. Local doc
+   ids fit the 28-bit key field of the packed posting words.
+3. per-block build (``applyInPandas`` over blocks): tokenize (Arrow batch,
+   vectorized), flatten to (term, local_doc, posn), one-pass multi-term
+   encode into packed uint64 posting arrays + per-term block stats
+   (df, tf_total, block-max tf for WAND-style pruning).
+4. shuffle-merge by term: per-(term, block) rows are range-partitioned by
+   (term, block_id) — a hot term's rows spread across reducers (skew-safe
+   without explicit salting because rows are pre-aggregated per block:
+   the classic two-stage/combiner shape) — then written sorted by term so
+   parquet row-group min/max stats prune query-term scans.
+5. checkpointed build: blocks are processed in groups; each completed
+   group commits its output + a marker, so a killed build resumes from
+   the last committed group (north_rule resumability). Per-group metrics
+   (docs/sec, postings, bytes) land in ``metrics.jsonl``.
+
+Index layout on disk (parquet):
+  postings/   term, block_id, postings(binary u64-LE), df, tf_total, tf_max
+  doclens/    block_id, doc_ids(binary i64-LE), doc_lens(binary f32-LE)
+  docstats/   doc_id, block_id, doc_len      (per-doc, for API/oracles)
+  term_stats/ term, df, tf_total, n_blocks   (global, small)
+  meta.json   tokenizer, docs_per_block, num_docs, avg_doc_len, ...
+"""
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    BinaryType, FloatType, LongType, StringType, StructField, StructType,
+)
+
+from . import kernels as K
+from . import tokenizers
+from .constants import DEFAULT_DOCS_PER_BLOCK, MAX_POSN
+
+STAGE_SCHEMA = StructType([
+    StructField("block_id", LongType()),
+    StructField("kind", StringType()),       # 'p' postings / 'd' doclens
+    StructField("term", StringType()),
+    StructField("postings", BinaryType()),   # packed u64 words (kind='p')
+    StructField("df", LongType()),
+    StructField("tf_total", LongType()),
+    StructField("tf_max", LongType()),
+    StructField("doc_ids", BinaryType()),    # kind='d': i64-LE local doc ids
+    StructField("doc_lens", BinaryType()),   # kind='d': f32-LE doc lens
+])
+
+
+def assign_doc_ids(df: DataFrame, order_col: str, num_partitions: Optional[int] = None) -> DataFrame:
+    """Assign dense deterministic int64 ``doc_id`` ordered by ``order_col``.
+
+    Scale-safe: range-partition + sort by the order column, count rows per
+    partition (one cheap job), then add per-partition offsets — no global
+    window, no single-partition sort.
+    """
+    num_partitions = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    part = df.repartitionByRange(num_partitions, F.col(order_col)) \
+             .sortWithinPartitions(order_col)
+    sizes_schema = StructType([StructField("pid", LongType()), StructField("n", LongType())])
+
+    def _sizes(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId()
+        n = 0
+        for pdf in it:
+            n += len(pdf)
+        yield pd.DataFrame({"pid": [pid], "n": [n]})
+
+    sizes = {r["pid"]: r["n"] for r in part.mapInPandas(_sizes, sizes_schema).collect()}
+    offsets = {}
+    acc = 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    out_schema = StructType(part.schema.fields + [StructField("doc_id", LongType())])
+
+    def _assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId()
+        base = offsets.get(pid, 0)
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["doc_id"] = np.arange(base, base + len(pdf), dtype=np.int64)
+            base += len(pdf)
+            yield pdf
+
+    return part.mapInPandas(_assign, out_schema)
+
+
+def _make_block_builder(tokenizer_fn, docs_per_block: int, truncate: bool):
+    """Per-block kernel: tokenize + build packed postings for one doc block.
+
+    The tokenizer callable is captured in the closure (cloudpickle ships it
+    to executors), so custom tokenizers work without registry round-trips.
+    """
+
+    def build_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        tok = tokenizer_fn
+        block_id = int(pdf["block_id"].iloc[0])
+        base = block_id * docs_per_block
+        token_lists = pdf["text"].map(tok)
+        lens = token_lists.map(len).to_numpy(dtype=np.int64)
+        if lens.size and lens.max() > MAX_POSN + 1:
+            if not truncate:
+                raise ValueError(
+                    f"doc exceeds max posn {MAX_POSN}; pass truncate=True to clip")
+            token_lists = token_lists.map(lambda t: t[:MAX_POSN + 1])
+            lens = np.minimum(lens, MAX_POSN + 1)
+        local_ids = (pdf["doc_id"].to_numpy(dtype=np.int64) - base)
+
+        flat_terms = np.concatenate(
+            [np.asarray(t, dtype=object) for t in token_lists]) if lens.sum() else np.array([], dtype=object)
+        flat_docs = np.repeat(local_ids, lens)
+        flat_posns = np.concatenate(
+            [np.arange(n, dtype=np.int64) for n in lens]) if lens.sum() else np.array([], dtype=np.int64)
+
+        codes, uniques = pd.factorize(flat_terms, sort=False)
+        c, starts, packed, df, tf_total, tf_max = K.encode_multi(codes, flat_docs, flat_posns)
+
+        terms_out = []
+        for i, code in enumerate(c):
+            seg = packed[starts[i]:starts[i + 1]]
+            terms_out.append((
+                block_id, "p", uniques[code], K.to_bytes(seg),
+                int(df[i]), int(tf_total[i]), int(tf_max[i]), None, None,
+            ))
+        # packed doclens row for block-local scoring (no per-doc join at
+        # query time; analogous to Lucene norms), sorted by local doc id
+        # so the scorer can searchsorted into it
+        order = np.argsort(local_ids)
+        terms_out.append((
+            block_id, "d", None, None, None, None, None,
+            local_ids[order].astype("<i8").tobytes(),
+            lens[order].astype("<f4").tobytes(),
+        ))
+        return pd.DataFrame(
+            terms_out,
+            columns=["block_id", "kind", "term", "postings", "df", "tf_total",
+                     "tf_max", "doc_ids", "doc_lens"],
+        )
+
+    return build_block
+
+
+def build_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    doc_id_col: Optional[str] = None,
+    order_col: Optional[str] = None,
+    tokenizer: str = "ws",
+    docs_per_block: int = DEFAULT_DOCS_PER_BLOCK,
+    truncate: bool = False,
+    term_partitions: Optional[int] = None,
+    checkpoint_groups: int = 1,
+    resume: bool = False,
+):
+    """Build the inverted index; returns a loaded ``SearchIndex``.
+
+    ``checkpoint_groups`` > 1 splits the corpus into doc-block groups that
+    commit independently (resumable via ``resume=True``).
+    """
+    from .index import SearchIndex
+
+    tokenizer_fn = tokenizers.resolve(tokenizer)
+    try:
+        tokenizer_name = tokenizers.name_of(tokenizer)
+    except ValueError:
+        tokenizer_name = "custom"
+    t_start = time.time()
+
+    if doc_id_col is not None:
+        df = corpus.withColumnRenamed(doc_id_col, "doc_id") if doc_id_col != "doc_id" else corpus
+        df = df.select(F.col("doc_id").cast("long"), F.col(text_col).alias("text"))
+    else:
+        if order_col is None:
+            raise ValueError("need doc_id_col or order_col for deterministic doc ids")
+        df = assign_doc_ids(corpus.select(F.col(order_col), F.col(text_col).alias("text")), order_col)
+        df = df.select("doc_id", "text")
+
+    df = df.withColumn("block_id", F.floor(F.col("doc_id") / F.lit(docs_per_block)))
+
+    stage_path = os.path.join(index_path, "stage")
+    marker_dir = os.path.join(index_path, "_groups")
+    os.makedirs(marker_dir, exist_ok=True)
+    builder = _make_block_builder(tokenizer_fn, docs_per_block, truncate)
+
+    groups = max(1, checkpoint_groups)
+    metrics_path = os.path.join(index_path, "metrics.jsonl")
+    for g in range(groups):
+        marker = os.path.join(marker_dir, f"group_{g}_of_{groups}.done")
+        if resume and os.path.exists(marker):
+            continue
+        g_start = time.time()
+        part = df if groups == 1 else df.filter(F.pmod(F.col("block_id"), F.lit(groups)) == g)
+        staged = part.groupBy("block_id").applyInPandas(builder, STAGE_SCHEMA)
+        staged.write.mode("append" if groups > 1 else "overwrite").parquet(stage_path)
+        n_docs_g = part.count()
+        with open(marker, "w") as fh:
+            json.dump({"group": g, "docs": n_docs_g, "secs": time.time() - g_start}, fh)
+        with open(metrics_path, "a") as fh:
+            fh.write(json.dumps({
+                "stage": "build_group", "group": g, "docs": n_docs_g,
+                "secs": round(time.time() - g_start, 3),
+                "docs_per_sec": round(n_docs_g / max(time.time() - g_start, 1e-9), 1),
+            }) + "\n")
+
+    stage = spark.read.parquet(stage_path)
+
+    # --- postings: term-clustered for parquet min/max pruning on term ---
+    postings = stage.filter(F.col("kind") == "p").select(
+        "term", "block_id", "postings", "df", "tf_total", "tf_max")
+    if term_partitions is None:
+        term_partitions = max(4, spark.sparkContext.defaultParallelism)
+    postings.repartitionByRange(term_partitions, "term", "block_id") \
+        .sortWithinPartitions("term", "block_id") \
+        .write.mode("overwrite").parquet(os.path.join(index_path, "postings"))
+
+    # --- packed doclens per block ---
+    stage.filter(F.col("kind") == "d").select("block_id", "doc_ids", "doc_lens") \
+        .write.mode("overwrite").parquet(os.path.join(index_path, "doclens"))
+
+    # --- global term stats (the small, shuffle-light merge by term) ---
+    posts = spark.read.parquet(os.path.join(index_path, "postings"))
+    posts.groupBy("term").agg(
+        F.sum("df").alias("df"),
+        F.sum("tf_total").alias("tf_total"),
+        F.count("*").alias("n_blocks"),
+    ).repartitionByRange(max(1, term_partitions // 4), "term") \
+        .sortWithinPartitions("term") \
+        .write.mode("overwrite").parquet(os.path.join(index_path, "term_stats"))
+
+    # --- per-doc stats + corpus stats ---
+    docstats_schema = StructType([
+        StructField("doc_id", LongType()), StructField("block_id", LongType()),
+        StructField("doc_len", FloatType()),
+    ])
+
+    def _explode_doclens(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for _, row in pdf.iterrows():
+                ids = np.frombuffer(row["doc_ids"], dtype="<i8")
+                lens = np.frombuffer(row["doc_lens"], dtype="<f4")
+                yield pd.DataFrame({
+                    "doc_id": ids + row["block_id"] * docs_per_block,
+                    "block_id": row["block_id"],
+                    "doc_len": lens,
+                })
+
+    spark.read.parquet(os.path.join(index_path, "doclens")) \
+        .mapInPandas(_explode_doclens, docstats_schema) \
+        .write.mode("overwrite").parquet(os.path.join(index_path, "docstats"))
+
+    stats = spark.read.parquet(os.path.join(index_path, "docstats")).agg(
+        F.count("*").alias("num_docs"),
+        F.avg("doc_len").alias("avg_doc_len"),
+        F.sum("doc_len").alias("total_tokens"),
+    ).collect()[0]
+
+    meta = {
+        "format_version": 1,
+        "tokenizer": tokenizer_name,
+        "docs_per_block": docs_per_block,
+        "truncate": truncate,
+        "num_docs": stats["num_docs"],
+        "avg_doc_len": stats["avg_doc_len"] or 0.0,
+        "total_tokens": stats["total_tokens"] or 0.0,
+        "build_secs": round(time.time() - t_start, 3),
+    }
+    with open(os.path.join(index_path, "meta.json"), "w") as fh:
+        json.dump(meta, fh, indent=2)
+    with open(metrics_path, "a") as fh:
+        fh.write(json.dumps({
+            "stage": "finalize", "num_docs": meta["num_docs"],
+            "total_tokens": meta["total_tokens"],
+            "secs": meta["build_secs"],
+            "docs_per_sec": round(meta["num_docs"] / max(meta["build_secs"], 1e-9), 1),
+        }) + "\n")
+    return SearchIndex(spark, index_path, tokenizer=tokenizer_fn)

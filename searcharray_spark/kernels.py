@@ -336,6 +336,57 @@ def _chain_r2l(encoded: List[np.ndarray]) -> Tuple[np.ndarray, np.ndarray]:
 
 
 # ---------------------------------------------------------------------------
+# multi-term encode (index build hot path)
+# ---------------------------------------------------------------------------
+
+def encode_multi(term_codes: np.ndarray, doc_ids: np.ndarray, posns: np.ndarray):
+    """Encode postings for many terms in one vectorized pass.
+
+    Parameters: parallel arrays (term_code, local_doc_id, posn), any order.
+    Returns (codes, starts, packed, per_term_df, per_term_tf, per_term_tfmax):
+      - ``codes``: sorted unique term codes
+      - ``starts``: word-offset of each term's slice in ``packed`` (len+1)
+      - ``packed``: all terms' posting words, grouped by term, sorted within
+      - per-term doc freq, total tf, and max per-doc tf (block-max metadata)
+    """
+    if len(term_codes) == 0:
+        return (_EMPTY_I64, np.zeros(1, dtype=np.int64), _EMPTY_U64,
+                _EMPTY_I64, _EMPTY_I64, _EMPTY_I64)
+    c = np.asarray(term_codes, dtype=np.uint64)
+    d = np.asarray(doc_ids, dtype=np.uint64)
+    p = np.asarray(posns, dtype=np.uint64)
+    hdr = (d << KEY_SHIFT) | ((p // np.uint64(18)) << MSB_SHIFT)
+    bits = _1 << (p % np.uint64(18))
+    # sort by (code, header) — code in high bits of a compound key would
+    # overflow 64 bits, so lexsort instead
+    order = np.lexsort((hdr, c))
+    c = c[order]
+    hdr = hdr[order]
+    bits = bits[order]
+    change = (np.diff(c) != 0) | (np.diff(hdr) != 0)
+    starts_w = np.concatenate(([0], np.flatnonzero(change) + 1))
+    packed = hdr[starts_w] | np.bitwise_or.reduceat(bits, starts_w)
+    codes_w = c[starts_w].astype(np.int64)
+
+    # per-term word ranges
+    term_change = np.flatnonzero(np.diff(codes_w)) + 1
+    term_starts = np.concatenate(([0], term_change, [len(packed)]))
+    codes = codes_w[term_starts[:-1]]
+
+    # per-doc tf then per-term aggregates
+    k = packed >> KEY_SHIFT
+    doc_change = np.concatenate(
+        ([0], np.flatnonzero((np.diff(codes_w) != 0) | (np.diff(k) != 0)) + 1))
+    doc_tf = np.add.reduceat(popcount64(lsb(packed)), doc_change)
+    doc_codes = codes_w[doc_change]
+    term_doc_change = np.concatenate(([0], np.flatnonzero(np.diff(doc_codes)) + 1))
+    df = np.diff(np.concatenate((term_doc_change, [len(doc_tf)])))
+    tf_total = np.add.reduceat(doc_tf, term_doc_change)
+    tf_max = np.maximum.reduceat(doc_tf, term_doc_change)
+    return codes, term_starts, packed, df, tf_total, tf_max
+
+
+# ---------------------------------------------------------------------------
 # packing helpers for Spark exchange (binary <-> uint64)
 # ---------------------------------------------------------------------------
 

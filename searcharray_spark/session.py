@@ -1,0 +1,31 @@
+"""SparkSession helper with engine-appropriate defaults."""
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "searcharray_spark", master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") \
+        or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    if shuffle_partitions is None:
+        if master.startswith("local["):
+            inner = master[6:-1]
+            shuffle_partitions = 32 if inner == "*" else max(8, int(inner))
+        else:
+            shuffle_partitions = 200
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

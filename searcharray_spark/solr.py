@@ -1,0 +1,221 @@
+"""Solr edismax emulation over SearchIndex fields.
+
+Semantics ported from the reference (/root/reference/searcharray/solr.py):
+- ``parse_min_should_match`` / ``parse_field_boosts``: verbatim semantics
+  (oracle tests: /root/reference/test/test_solr.py:12-80).
+- term-centric: per query term, dismax across fields
+  (max + tie*(sum-max)); summed over terms; docs matching fewer than mm
+  terms zeroed (solr.py:111-143).
+- field-centric (fields tokenize the query differently): per field sum
+  with per-field mm, then dismax across fields (solr.py:146-175).
+- pf/pf2/pf3 re-rank phases: phrase/bigram/trigram scores added on docs
+  already matching the main query (solr.py:178-248). (The reference's
+  pf2 loop adds the final bigram score twice — a quirk we do not
+  replicate; its tests only assert match sets.)
+
+Spark-first: everything is sparse DataFrame algebra — one ``score_many``
+kernel pass per field, then groupBy/agg combinators. No dense arrays, no
+driver-side loops over docs.
+"""
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional, Union
+
+from pyspark.sql import DataFrame, functions as F
+
+from .index import SearchIndex
+
+
+def parse_min_should_match(num_clauses: int, spec: str) -> int:
+    """Solr mm spec: int, negative int, percent, and n<spec chains."""
+
+    def checked_int(value):
+        try:
+            return int(value)
+        except ValueError:
+            raise ValueError("Invalid 'mm' spec. Expecting an integer.")
+
+    result = num_clauses
+    spec = spec.strip()
+
+    if "<" in spec:
+        spec = re.sub(r"\s*<\s*", "<", spec)
+        for s in spec.split():
+            parts = s.split("<", 1)
+            if len(parts) < 2:
+                raise ValueError(
+                    f"Invalid 'mm' spec: '{s}'. Expecting values before and after '<'")
+            upper_bound = checked_int(parts[0])
+            if num_clauses <= upper_bound:
+                return result
+            result = parse_min_should_match(num_clauses, parts[1])
+        return result
+
+    if "%" in spec:
+        percent = checked_int(spec[:-1])
+        calc = (result * percent) * (1 / 100)
+        result = result + int(calc) if calc < 0 else int(calc)
+    else:
+        calc = checked_int(spec)
+        result = result + calc if calc < 0 else calc
+
+    return min(num_clauses, max(result, 0))
+
+
+def parse_field_boosts(field_lists: List[str]) -> Dict[str, Optional[float]]:
+    """Parse ["title^2", "body"] -> {"title": 2.0, "body": None}."""
+    if not field_lists:
+        return {}
+    out: Dict[str, Optional[float]] = {}
+    for field in field_lists:
+        parts = re.split(r"\^", field)
+        out[parts[0]] = None if len(parts) == 1 else float(parts[1])
+    return out
+
+
+def _listify(x):
+    return x if isinstance(x, list) else [x]
+
+
+def edismax(
+    fields: Dict[str, SearchIndex],
+    q: str,
+    qf: Union[str, List[str]],
+    mm: Optional[Union[str, int]] = None,
+    pf: Optional[Union[str, List[str]]] = None,
+    pf2: Optional[Union[str, List[str]]] = None,
+    pf3: Optional[Union[str, List[str]]] = None,
+    tie: float = 0.0,
+    q_op: str = "OR",
+    similarity=None,
+) -> DataFrame:
+    """edismax over per-field SearchIndexes sharing a doc_id space.
+
+    Returns a sparse DataFrame (doc_id, score); docs with zero score are
+    absent.
+    """
+    query_fields = parse_field_boosts(_listify(qf))
+    phrase_fields = parse_field_boosts(_listify(pf)) if pf else {}
+    bigram_fields = parse_field_boosts(_listify(pf2)) if pf2 else {}
+    trigram_fields = parse_field_boosts(_listify(pf3)) if pf3 else {}
+    if mm is None:
+        mm = "1"
+    if isinstance(mm, int):
+        mm = f"{mm}"
+    if q_op == "AND":
+        mm = "100%"
+
+    sim_by_field = similarity if isinstance(similarity, dict) else {
+        f: similarity for f in query_fields}
+
+    for f_name in query_fields:
+        if f_name not in fields:
+            raise ValueError(f"field {f_name!r} has no index")
+
+    # tokenize the query per field with that field's tokenizer; decide
+    # term- vs field-centric (same token count across fields?)
+    search_terms: Dict[str, List[str]] = {}
+    num_search_terms = 0
+    term_centric = True
+    for f_name in query_fields:
+        toks = fields[f_name].tokenizer(q)
+        search_terms[f_name] = toks
+        if num_search_terms == 0:
+            num_search_terms = len(toks)
+        elif len(toks) != num_search_terms:
+            term_centric = False
+
+    # one kernel pass per field over all its query terms
+    per_field_hits = {}
+    for f_name, boost in query_fields.items():
+        toks = search_terms[f_name]
+        if not toks:
+            continue
+        idx = fields[f_name]
+        hits = idx.score_many(toks, similarity=sim_by_field.get(f_name))
+        per_field_hits[f_name] = hits.select(
+            F.lit(f_name).alias("field"),
+            "token_idx", "doc_id",
+            (F.col("score") * F.lit(1.0 if boost is None else boost)).alias("score"),
+        )
+
+    if not per_field_hits:
+        spark = next(iter(fields.values())).spark
+        return spark.createDataFrame([], "doc_id long, score float")
+
+    all_hits = None
+    for df in per_field_hits.values():
+        all_hits = df if all_hits is None else all_hits.unionByName(df)
+
+    if term_centric:
+        min_match = parse_min_should_match(num_search_terms, spec=mm)
+        # per (doc, term): dismax over fields = max + tie*(sum - max)
+        term_scores = all_hits.groupBy("doc_id", "token_idx").agg(
+            F.max("score").alias("mx"), F.sum("score").alias("sm"))
+        term_scores = term_scores.withColumn(
+            "term_score", F.col("mx") + (F.col("sm") - F.col("mx")) * F.lit(tie))
+        qf_scores = term_scores.groupBy("doc_id").agg(
+            F.sum("term_score").alias("score"),
+            F.countDistinct(F.when(F.col("term_score") > 0, F.col("token_idx")))
+             .alias("n_matched"),
+        ).filter(F.col("n_matched") >= min_match).drop("n_matched")
+    else:
+        # per field: sum term scores, per-field mm, then dismax over fields
+        field_frames = []
+        for f_name in per_field_hits:
+            n_toks = len(search_terms[f_name])
+            f_mm = min(parse_min_should_match(n_toks, spec=mm), n_toks)
+            fs = per_field_hits[f_name].groupBy("doc_id").agg(
+                F.sum("score").alias("field_score"),
+                F.countDistinct(F.when(F.col("score") > 0, F.col("token_idx")))
+                 .alias("n_matched"),
+            ).filter(F.col("n_matched") >= f_mm).drop("n_matched")
+            field_frames.append(fs)
+        stacked = None
+        for fs in field_frames:
+            stacked = fs if stacked is None else stacked.unionByName(fs)
+        qf_scores = stacked.groupBy("doc_id").agg(
+            F.max("field_score").alias("mx"), F.sum("field_score").alias("sm"))
+        qf_scores = qf_scores.select(
+            "doc_id",
+            (F.col("mx") + (F.col("sm") - F.col("mx")) * F.lit(tie)).alias("score"))
+
+    qf_scores = qf_scores.filter(F.col("score") > 0)
+
+    # --- phrase re-rank phases on main-query matches only ---
+    phase_specs = []
+    for fboosts, gram in ((phrase_fields, 0), (bigram_fields, 2), (trigram_fields, 3)):
+        for f_name, boost in fboosts.items():
+            terms = search_terms.get(f_name) or fields[f_name].tokenizer(q)
+            search_terms.setdefault(f_name, terms)
+            if gram == 0:
+                if len(terms) >= 2:
+                    phase_specs.append((f_name, boost, [terms]))
+            else:
+                if len(terms) >= gram:
+                    grams = [list(g) for g in zip(*(terms[i:] for i in range(gram)))]
+                    if grams:
+                        phase_specs.append((f_name, boost, grams))
+
+    if phase_specs:
+        candidates = qf_scores.select("doc_id")
+        boost_frames = []
+        for f_name, boost, token_groups in phase_specs:
+            idx = fields[f_name]
+            ph = idx.score_many(token_groups, similarity=sim_by_field.get(f_name))
+            ph = ph.join(candidates, "doc_id", "left_semi")
+            ph = ph.groupBy("doc_id").agg(
+                (F.sum("score") * F.lit(1.0 if boost is None else boost))
+                .alias("boost_score"))
+            boost_frames.append(ph)
+        boosts = None
+        for bf in boost_frames:
+            boosts = bf if boosts is None else boosts.unionByName(bf)
+        boosts = boosts.groupBy("doc_id").agg(F.sum("boost_score").alias("boost_score"))
+        qf_scores = qf_scores.join(boosts, "doc_id", "left").select(
+            "doc_id",
+            (F.col("score") + F.coalesce(F.col("boost_score"), F.lit(0.0)))
+            .alias("score"))
+
+    return qf_scores
