@@ -1,38 +1,386 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship BM25 top-k on sf0.001;
+``queries()``/``oracle_sql()`` expose one entry per implemented operator
+(SURVEY.md §2 + training-data pipeline ops), verified against DuckDB.
 """
-
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# --- fixed query constants (shared by Spark queries and SQL oracles) ----
+TERM = "spark"
+OR_TERMS = ["spark", "query", "join"]
+AND_TERMS = ["spark", "window", "batch"]
+PHRASE2 = ["table", "hash"]
+PHRASE3 = ["slow", "hash", "batch"]
+K1, B = 1.2, 0.75
+
+# DuckDB-side tokenizer, byte-equivalent to Python str.split()
+_TOKS = r"list_filter(string_split_regex(text, '\s+'), x -> len(x)>0)"
+_TOK_CTE = f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) - 1 AS posn FROM d)
+"""
+
+_INDEX_CACHE: dict = {}
+
+
+def _index_for(spark: SparkSession, sf_dir: str):
+    """Build (once) and cache the inverted index for a testdata dir."""
+    from searcharray_spark import SearchIndex, build_index
+
+    key = os.path.abspath(sf_dir)
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    cache_root = os.environ.get("SPARK_GRAFT_INDEX_CACHE", "/tmp/searcharray_spark_idx")
+    idx_path = os.path.join(cache_root, key.strip("/").replace("/", "_"))
+    if os.path.exists(os.path.join(idx_path, "meta.json")):
+        idx = SearchIndex(spark, idx_path)
+    else:
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        idx = build_index(spark, docs, idx_path, doc_id_col="doc_id",
+                          tokenizer="ws", docs_per_block=1 << 14)
+    _INDEX_CACHE[key] = idx
+    return idx
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-10 OR-query over the sf0.001 documents table."""
+    return q_bm25_top10(spark, "/root/testdata/sf0.001")
+
+
+# --- index-backed queries ----------------------------------------------
+
+def q_term_freqs(spark, sf_dir):
+    idx = _index_for(spark, sf_dir)
+    return idx.termfreqs(TERM).select(
+        "doc_id", F.col("tf").cast("long").alias("tf"))
+
+
+def q_doc_freqs(spark, sf_dir):
+    idx = _index_for(spark, sf_dir)
+    return idx.term_stats.filter(F.col("term").isin(OR_TERMS + AND_TERMS)) \
+        .select("term", F.col("df").cast("long").alias("df"))
+
+
+def q_doc_lengths(spark, sf_dir):
+    idx = _index_for(spark, sf_dir)
+    return idx.doclengths().select(
+        "doc_id", F.col("doc_len").cast("long").alias("doc_len"))
+
+
+def q_corpus_stats(spark, sf_dir):
+    idx = _index_for(spark, sf_dir)
+    return idx.docstats.agg(
+        F.count("*").cast("long").alias("num_docs"),
+        F.round(F.avg("doc_len"), 6).alias("avg_doc_len"))
+
+
+def q_top_terms(spark, sf_dir):
+    idx = _index_for(spark, sf_dir)
+    return idx.term_stats \
+        .select("term", F.col("df").cast("long").alias("df"),
+                F.col("tf_total").cast("long").alias("tf_total")) \
+        .orderBy(F.desc("df"), F.asc("term")).limit(20)
+
+
+def q_bm25_top10(spark, sf_dir):
+    """BM25 OR-query top-10, double-precision parity form.
+
+    (The float32 reference-identical scorer is exercised by the pytest
+    goldens; here both engines compute the same double expression so the
+    DuckDB value-hash matches.)
+    """
+    idx = _index_for(spark, sf_dir)
+    n = idx.num_docs
+    avgdl_df = idx.docstats.agg(F.avg("doc_len").alias("a"))
+    hits = idx.score_many(OR_TERMS)  # (token_idx, doc_id, tf, score)
+    terms_df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(OR_TERMS)], "token_idx int, term string")
+    stats = idx.term_stats.filter(F.col("term").isin(OR_TERMS)).select("term", "df")
+    hits = hits.join(F.broadcast(terms_df), "token_idx") \
+        .join(F.broadcast(stats), "term") \
+        .join(idx.docstats.select("doc_id", "doc_len"), "doc_id") \
+        .crossJoin(F.broadcast(avgdl_df))
+    idf = F.log(F.lit(1.0) + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tfd = F.col("tf").cast("double")
+    dl = F.col("doc_len").cast("double")
+    score = idf * tfd / (tfd + F.lit(K1) * (F.lit(1 - B) + F.lit(B) * dl / F.col("a")))
+    return hits.groupBy("doc_id").agg(F.sum(score).alias("s")) \
+        .select("doc_id", F.round("s", 6).alias("score")) \
+        .orderBy(F.desc("s"), F.asc("doc_id")).limit(10)
+
+
+def q_phrase_freqs_2(spark, sf_dir):
+    idx = _index_for(spark, sf_dir)
+    return idx.termfreqs(PHRASE2).select(
+        "doc_id", F.col("tf").cast("long").alias("pf"))
+
+
+def q_phrase_freqs_3(spark, sf_dir):
+    idx = _index_for(spark, sf_dir)
+    return idx.termfreqs(PHRASE3).select(
+        "doc_id", F.col("tf").cast("long").alias("pf"))
+
+
+def q_and_search(spark, sf_dir):
+    idx = _index_for(spark, sf_dir)
+    hits = idx.score_many(AND_TERMS)
+    return hits.groupBy("doc_id").agg(
+        F.countDistinct("token_idx").alias("nm"),
+        F.sum(F.col("tf").cast("long")).alias("sum_tf"),
+    ).filter(F.col("nm") == len(AND_TERMS)).select("doc_id", "sum_tf")
+
+
+def q_minmax_window_tf(spark, sf_dir):
+    """tf of TERM restricted to positions 0..17 (first posn block)."""
+    idx = _index_for(spark, sf_dir)
+    return idx.termfreqs(TERM, min_posn=0, max_posn=17).select(
+        "doc_id", F.col("tf").cast("long").alias("tf"))
+
+
+def q_positions(spark, sf_dir):
+    idx = _index_for(spark, sf_dir)
+    return idx.positions(TERM) \
+        .select("doc_id", F.explode("posns").alias("p")) \
+        .select("doc_id", F.col("p").cast("long").alias("posn"))
+
+
+# --- text-pipeline operators -------------------------------------------
+
+def q_token_stats(spark, sf_dir):
+    from searcharray_spark.textops import token_stats
+    return token_stats(_docs(spark, sf_dir))
+
+
+def q_quality_score(spark, sf_dir):
+    from searcharray_spark.textops import quality_score
+    return quality_score(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark, sf_dir):
+    from searcharray_spark.textops import lang_id
+    return lang_id(_docs(spark, sf_dir))
+
+
+def q_exact_dedup(spark, sf_dir):
+    from searcharray_spark.textops import exact_dedup
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from searcharray_spark.textops import ngram_jaccard_pairs
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.2)
+
+
+def q_minhash_neardup(spark, sf_dir):
+    from searcharray_spark.textops import minhash_neardup_pairs
+    return minhash_neardup_pairs(_docs(spark, sf_dir), threshold=0.2)
+
+
+def q_simhash(spark, sf_dir):
+    from searcharray_spark.textops import simhash
+    return simhash(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark, sf_dir):
+    from searcharray_spark.textops import doc_fingerprint
+    return doc_fingerprint(_docs(spark, sf_dir))
+
+
+# --- similarity search --------------------------------------------------
+
+def _query_vec(spark, sf_dir):
+    row = _embs(spark, sf_dir).filter(F.col("vec_id") == 0).first()
+    return list(row["embedding"])
+
+
+def q_ann_cosine_top10(spark, sf_dir):
+    from searcharray_spark.ann import cosine_topk
+    return cosine_topk(_embs(spark, sf_dir), _query_vec(spark, sf_dir),
+                       k=10, exclude_id=0)
+
+
+def q_ann_lsh_top10(spark, sf_dir):
+    from searcharray_spark.ann import lsh_topk
+    return lsh_topk(_embs(spark, sf_dir), _query_vec(spark, sf_dir),
+                    k=10, n_planes=4)
+
+
+def q_embedding_neardup(spark, sf_dir):
+    from searcharray_spark.ann import cosine_neardup_pairs
+    return cosine_neardup_pairs(_embs(spark, sf_dir), threshold=0.3, n_planes=0)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "term_freqs": q_term_freqs,
+        "doc_freqs": q_doc_freqs,
+        "doc_lengths": q_doc_lengths,
+        "corpus_stats": q_corpus_stats,
+        "top_terms": q_top_terms,
+        "bm25_top10": q_bm25_top10,
+        "phrase_freqs_2": q_phrase_freqs_2,
+        "phrase_freqs_3": q_phrase_freqs_3,
+        "and_search": q_and_search,
+        "minmax_window_tf": q_minmax_window_tf,
+        "positions": q_positions,
+        "token_stats": q_token_stats,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "exact_dedup": q_exact_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_neardup": q_minhash_neardup,
+        "simhash": q_simhash,
+        "fingerprint": q_fingerprint,
+        "ann_cosine_top10": q_ann_cosine_top10,
+        "ann_lsh_top10": q_ann_lsh_top10,
+        "embedding_neardup": q_embedding_neardup,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    terms_in = ", ".join(f"'{t}'" for t in sorted(set(OR_TERMS + AND_TERMS)))
+    or_in = ", ".join(f"'{t}'" for t in OR_TERMS)
+    and_in = ", ".join(f"'{t}'" for t in AND_TERMS)
+    stop_in = ", ".join(
+        f"'{s}'" for s in __import__("searcharray_spark.textops", fromlist=["EN_STOPWORDS"]).EN_STOPWORDS)
+    return {
+        "term_freqs": _TOK_CTE + f"""
+            SELECT doc_id, count(*)::BIGINT AS tf FROM tok
+            WHERE term = '{TERM}' GROUP BY doc_id""",
+        "doc_freqs": _TOK_CTE + f"""
+            SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok
+            WHERE term IN ({terms_in}) GROUP BY term""",
+        "doc_lengths": f"""
+            SELECT doc_id, len({_TOKS})::BIGINT AS doc_len FROM documents""",
+        "corpus_stats": f"""
+            SELECT count(*)::BIGINT AS num_docs,
+                   round(avg(len({_TOKS})), 6) AS avg_doc_len FROM documents""",
+        "top_terms": _TOK_CTE + """
+            SELECT term, count(DISTINCT doc_id)::BIGINT AS df,
+                   count(*)::BIGINT AS tf_total
+            FROM tok GROUP BY term ORDER BY df DESC, term ASC LIMIT 20""",
+        "bm25_top10": _TOK_CTE + f""",
+            dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+            stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                             (SELECT avg(len({_TOKS})) FROM documents) AS avgdl),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+                   WHERE term IN ({or_in}) GROUP BY doc_id, term),
+            df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+                   WHERE term IN ({or_in}) GROUP BY term)
+            SELECT tf.doc_id,
+                   round(sum(ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                         * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl))), 6) AS score
+            FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN stats
+            GROUP BY tf.doc_id
+            ORDER BY sum(ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                     * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl))) DESC,
+                     tf.doc_id ASC LIMIT 10""",
+        "phrase_freqs_2": _TOK_CTE + f"""
+            SELECT a.doc_id, count(*)::BIGINT AS pf
+            FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.posn = a.posn + 1
+            WHERE a.term = '{PHRASE2[0]}' AND b.term = '{PHRASE2[1]}'
+            GROUP BY a.doc_id""",
+        "phrase_freqs_3": _TOK_CTE + f"""
+            SELECT a.doc_id, count(*)::BIGINT AS pf
+            FROM tok a
+            JOIN tok b ON a.doc_id = b.doc_id AND b.posn = a.posn + 1
+            JOIN tok c ON a.doc_id = c.doc_id AND c.posn = a.posn + 2
+            WHERE a.term = '{PHRASE3[0]}' AND b.term = '{PHRASE3[1]}'
+              AND c.term = '{PHRASE3[2]}'
+            GROUP BY a.doc_id""",
+        "and_search": _TOK_CTE + f"""
+            SELECT doc_id, sum(cnt)::BIGINT AS sum_tf FROM (
+              SELECT doc_id, term, count(*) AS cnt FROM tok
+              WHERE term IN ({and_in}) GROUP BY doc_id, term)
+            GROUP BY doc_id HAVING count(DISTINCT term) = {len(AND_TERMS)}""",
+        "minmax_window_tf": _TOK_CTE + f"""
+            SELECT doc_id, count(*)::BIGINT AS tf FROM tok
+            WHERE term = '{TERM}' AND posn BETWEEN 0 AND 17 GROUP BY doc_id""",
+        "positions": _TOK_CTE + f"""
+            SELECT doc_id, posn::BIGINT AS posn FROM tok WHERE term = '{TERM}'""",
+        "token_stats": f"""
+            WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+            SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+                   len(list_distinct(toks))::BIGINT AS n_unique,
+                   round(CASE WHEN len(toks) > 0
+                         THEN list_sum(list_transform(toks, x -> len(x)))::DOUBLE / len(toks)
+                         ELSE 0.0 END, 6) AS avg_token_len
+            FROM d""",
+        "quality_score": f"""
+            WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            s AS (SELECT doc_id, len(toks) AS n,
+                         len(list_distinct(toks)) AS nu,
+                         len(list_filter(toks, x -> x IN ({stop_in}))) AS ns
+                  FROM d)
+            SELECT doc_id, n::BIGINT AS n_tokens,
+                   round(CASE WHEN n > 0 THEN nu::DOUBLE / n ELSE 0.0 END, 6) AS unique_ratio,
+                   round(CASE WHEN n > 0 THEN ns::DOUBLE / n ELSE 0.0 END, 6) AS stopword_ratio,
+                   round(least(1.0, n / 100.0) * 0.5
+                         + round(CASE WHEN n > 0 THEN nu::DOUBLE / n ELSE 0.0 END, 6) * 0.3
+                         + least(1.0, round(CASE WHEN n > 0 THEN ns::DOUBLE / n ELSE 0.0 END, 6) * 5) * 0.2, 6) AS quality
+            FROM s""",
+        "lang_id": f"""
+            WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            s AS (SELECT doc_id, len(toks) AS n,
+                         len(list_filter(toks, x -> x IN ({stop_in}))) AS ns
+                  FROM d),
+            r AS (SELECT doc_id,
+                         CASE WHEN n > 0 THEN ns::DOUBLE / n ELSE 0.0 END AS ratio
+                  FROM s)
+            SELECT doc_id, round(ratio, 6) AS stopword_ratio,
+                   CASE WHEN ratio >= 0.05 THEN 'en' ELSE 'unknown' END AS lang_pred
+            FROM r""",
+        "exact_dedup": """
+            SELECT md5(text) AS text_hash, count(*)::BIGINT AS n_docs,
+                   min(doc_id) AS keeper_id
+            FROM documents GROUP BY md5(text)""",
+        "ngram_jaccard": f"""
+            WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            sh AS (SELECT doc_id AS id, unnest(list_distinct(
+                     CASE WHEN len(toks) >= 3 THEN
+                       list_transform(generate_series(1, len(toks) - 2),
+                                      i -> array_to_string(toks[i:i+2], ' '))
+                     ELSE [array_to_string(toks, ' ')] END)) AS shingle
+                   FROM d),
+            cnt AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+            inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+                      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+                      GROUP BY a.id, b.id)
+            SELECT id_a, id_b,
+                   round(n_inter::DOUBLE / (ca.n_sh + cb.n_sh - n_inter), 6) AS jaccard
+            FROM inter
+            JOIN cnt ca ON inter.id_a = ca.id
+            JOIN cnt cb ON inter.id_b = cb.id
+            WHERE n_inter::DOUBLE / (ca.n_sh + cb.n_sh - n_inter) >= 0.2""",
+        "ann_cosine_top10": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv), 6) AS cosine
+            FROM embeddings, q WHERE vec_id <> 0
+            ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv) DESC, vec_id ASC
+            LIMIT 10""",
+        "embedding_neardup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.3""",
+        # minhash_neardup / simhash / fingerprint / ann_lsh_top10: hash-scheme
+        # specific (xxhash64 / FNV / hyperplane seeds) — rows-only checks.
+    }
