@@ -212,14 +212,13 @@ def build_index(
         part = df if groups == 1 else df.filter(F.pmod(F.col("block_id"), F.lit(groups)) == g)
         staged = part.groupBy("block_id").applyInPandas(builder, STAGE_SCHEMA)
         staged.write.mode("append" if groups > 1 else "overwrite").parquet(stage_path)
-        n_docs_g = part.count()
+        g_secs = time.time() - g_start
         with open(marker, "w") as fh:
-            json.dump({"group": g, "docs": n_docs_g, "secs": time.time() - g_start}, fh)
+            json.dump({"group": g, "secs": g_secs}, fh)
         with open(metrics_path, "a") as fh:
             fh.write(json.dumps({
-                "stage": "build_group", "group": g, "docs": n_docs_g,
-                "secs": round(time.time() - g_start, 3),
-                "docs_per_sec": round(n_docs_g / max(time.time() - g_start, 1e-9), 1),
+                "stage": "build_group", "group": g,
+                "secs": round(g_secs, 3),
             }) + "\n")
 
     stage = spark.read.parquet(stage_path)
