@@ -1,0 +1,152 @@
+"""N-vs-4N parallelism scaling benchmark (sandbox stand-in for the
+north_rule's two-cluster-size run).
+
+Protocol (BASELINE.md): generate ONE deterministic web corpus, then run
+the identical build + query job at local[8] and local[32] on the same
+input files, and report throughput at both plus scaling efficiency
+  eff = (T_small / T_large) / (32/8).
+
+Each parallelism level runs in its own subprocess (fresh JVM) with one
+untimed warmup build + query pass (JIT warmup), then timed steady-state
+runs — throughput, not cold-start, is what the rule measures.
+
+Usage: python scripts/bench_scaling.py [n_docs] [out_json]
+       python scripts/bench_scaling.py --worker <cpus> <n_docs>  (internal)
+"""
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+QUERIES = [
+    ("term_hot", "the"),
+    ("term_mid", "time"),
+    ("term_rare", "w00999"),
+    ("phrase2_hot", ["of", "the"]),
+    ("phrase2_mid", ["in", "a"]),
+    ("phrase3", ["the", "of", "the"]),
+    ("phrase_same_term", ["the", "the", "the"]),
+    ("or_query", ["the", "time", "w00999"]),
+]
+
+CORPUS = "/tmp/sa_scaling_corpus"
+
+
+def ensure_corpus(n_docs: int):
+    from searcharray_spark.session import get_spark
+    from searcharray_spark.webcorpus import generate_corpus
+
+    marker = os.path.join(CORPUS, "_meta.json")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if json.load(fh).get("n_docs") == n_docs:
+                return
+    shutil.rmtree(CORPUS, ignore_errors=True)
+    spark = get_spark("gen_corpus", master="local[32]", shuffle_partitions=32)
+    t0 = time.time()
+    generate_corpus(spark, n_docs).write.mode("overwrite").parquet(CORPUS)
+    print(f"generated {n_docs} docs in {time.time()-t0:.1f}s", file=sys.stderr)
+    spark.stop()
+    with open(marker, "w") as fh:
+        json.dump({"n_docs": n_docs}, fh)
+
+
+def run_queries(idx, repeat: int) -> dict:
+    q_times = {}
+    for name, token in QUERIES:
+        best = float("inf")
+        for _ in range(repeat):
+            t0 = time.time()
+            if name.startswith("or_"):
+                rows = idx.search_or(token, mm=1) \
+                    .orderBy("score", ascending=False).limit(10).collect()
+            else:
+                rows = idx.top_k(token, k=10).collect()
+            best = min(best, time.time() - t0)
+        q_times[name] = round(best, 4)
+    return q_times
+
+
+def worker(cpus: int, n_docs: int, repeat: int = 3):
+    from searcharray_spark import build_index
+    from searcharray_spark.session import get_spark
+
+    spark = get_spark(f"scaling_{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    corpus = spark.read.parquet(CORPUS)
+    blocks = max(64, 2 * cpus)
+    dpb = max(256, n_docs // blocks)
+
+    # warmup (JIT): one untimed build
+    warm_path = f"/tmp/sa_scaling_warm_{cpus}"
+    shutil.rmtree(warm_path, ignore_errors=True)
+    build_index(spark, corpus, warm_path, doc_id_col="doc_id",
+                tokenizer="ws", docs_per_block=dpb, term_partitions=cpus)
+
+    idx_path = f"/tmp/sa_scaling_idx_{cpus}"
+    shutil.rmtree(idx_path, ignore_errors=True)
+    t0 = time.time()
+    idx = build_index(spark, corpus, idx_path, doc_id_col="doc_id",
+                      tokenizer="ws", docs_per_block=dpb,
+                      term_partitions=cpus)
+    build_secs = time.time() - t0
+
+    idx.cache()
+    run_queries(idx, 1)  # warmup
+    q_times = run_queries(idx, repeat)
+    total_q = sum(q_times.values())
+    out = {
+        "cpus": cpus,
+        "build_secs": round(build_secs, 2),
+        "docs_per_sec": round(n_docs / build_secs, 1),
+        "tokens_per_sec": round(idx.meta["total_tokens"] / build_secs, 1),
+        "queries": q_times,
+        "total_query_secs": round(total_q, 3),
+        "queries_per_sec": round(len(q_times) / total_q, 3),
+    }
+    spark.stop()
+    print("WORKER_RESULT " + json.dumps(out))
+
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        worker(int(sys.argv[2]), int(sys.argv[3]))
+        return
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "BENCH_scaling.json"
+    ensure_corpus(n_docs)
+    results = {}
+    for cpus in (8, 32):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker",
+             str(cpus), str(n_docs)],
+            capture_output=True, text=True, timeout=3600,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        line = [ln for ln in proc.stdout.splitlines()
+                if ln.startswith("WORKER_RESULT ")]
+        if not line:
+            print(proc.stdout[-3000:], proc.stderr[-3000:])
+            raise RuntimeError(f"worker {cpus} failed")
+        results[cpus] = json.loads(line[-1][len("WORKER_RESULT "):])
+    small, large = results[8], results[32]
+    factor = 32 / 8
+    result = {
+        "n_docs": n_docs,
+        "local8": small,
+        "local32": large,
+        "scaling_efficiency_build": round(
+            (small["build_secs"] / large["build_secs"]) / factor, 3),
+        "scaling_efficiency_query": round(
+            (small["total_query_secs"] / large["total_query_secs"]) / factor, 3),
+    }
+    with open(out_path, "w") as fh:
+        json.dump(result, fh, indent=2)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -76,14 +76,32 @@ class SearchIndex:
         else:
             self.tokenizer = tokenizers.resolve(self.meta["tokenizer"])
         self._df_cache: dict = {}
+        self._postings_df: DataFrame | None = None
+        self._doclens_df: DataFrame | None = None
+
+    def cache(self) -> "SearchIndex":
+        """Persist the postings + doclens tables in executor memory —
+        amortizes the scan across repeated queries (the cluster-scale
+        analogue: spark.catalog.cacheTable on the index tables)."""
+        self._postings_df = self.spark.read.parquet(
+            os.path.join(self.path, "postings")).cache()
+        self._doclens_df = self.spark.read.parquet(
+            os.path.join(self.path, "doclens")).cache()
+        self._postings_df.count()
+        self._doclens_df.count()
+        return self
 
     # --- tables -----------------------------------------------------------
     @property
     def postings(self) -> DataFrame:
+        if self._postings_df is not None:
+            return self._postings_df
         return self.spark.read.parquet(os.path.join(self.path, "postings"))
 
     @property
     def doclens(self) -> DataFrame:
+        if self._doclens_df is not None:
+            return self._doclens_df
         return self.spark.read.parquet(os.path.join(self.path, "doclens"))
 
     @property
