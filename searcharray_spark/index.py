@@ -106,7 +106,28 @@ class SearchIndex:
 
     @property
     def docstats(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.path, "docstats"))
+        """Per-doc (doc_id, block_id, doc_len), derived from the packed
+        per-block doclens rows (not materialized — the packed form is the
+        source of truth; this explode is only for API/oracle use)."""
+        docs_per_block = self.docs_per_block
+        schema = StructType([
+            StructField("doc_id", LongType()),
+            StructField("block_id", LongType()),
+            StructField("doc_len", FloatType()),
+        ])
+
+        def _explode(it):
+            for pdf in it:
+                for block_id, ids_raw, lens_raw in zip(
+                        pdf["block_id"], pdf["doc_ids"], pdf["doc_lens"]):
+                    ids = np.frombuffer(ids_raw, dtype="<i8")
+                    yield pd.DataFrame({
+                        "doc_id": ids + int(block_id) * docs_per_block,
+                        "block_id": int(block_id),
+                        "doc_len": np.frombuffer(lens_raw, dtype="<f4"),
+                    })
+
+        return self.doclens.mapInPandas(_explode, schema)
 
     @property
     def term_stats(self) -> DataFrame:

@@ -26,14 +26,14 @@ re-architected for a multi-executor cluster, not ported):
 Index layout on disk (parquet):
   postings/   term, block_id, postings(binary u64-LE), df, tf_total, tf_max
   doclens/    block_id, doc_ids(binary i64-LE), doc_lens(binary f32-LE)
-  docstats/   doc_id, block_id, doc_len      (per-doc, for API/oracles)
   term_stats/ term, df, tf_total, n_blocks   (global, small)
   meta.json   tokenizer, docs_per_block, num_docs, avg_doc_len, ...
+(per-doc docstats are derived lazily from doclens — see SearchIndex)
 """
 from __future__ import annotations
 
 import json
-import math
+
 import os
 import time
 from typing import Iterator, Optional
@@ -246,32 +246,26 @@ def build_index(
         .sortWithinPartitions("term") \
         .write.mode("overwrite").parquet(os.path.join(index_path, "term_stats"))
 
-    # --- per-doc stats + corpus stats ---
-    docstats_schema = StructType([
-        StructField("doc_id", LongType()), StructField("block_id", LongType()),
-        StructField("doc_len", FloatType()),
+    # --- corpus stats straight from the (tiny) packed doclens table;
+    # per-doc docstats are derived lazily at query time (SearchIndex) ---
+    stats_schema = StructType([
+        StructField("n", LongType()), StructField("s", FloatType()),
     ])
 
-    def _explode_doclens(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _block_stats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            for _, row in pdf.iterrows():
-                ids = np.frombuffer(row["doc_ids"], dtype="<i8")
-                lens = np.frombuffer(row["doc_lens"], dtype="<f4")
-                yield pd.DataFrame({
-                    "doc_id": ids + row["block_id"] * docs_per_block,
-                    "block_id": row["block_id"],
-                    "doc_len": lens,
-                })
+            for lens_raw in pdf["doc_lens"]:
+                lens = np.frombuffer(lens_raw, dtype="<f4")
+                yield pd.DataFrame({"n": [len(lens)], "s": [float(lens.sum())]})
 
-    spark.read.parquet(os.path.join(index_path, "doclens")) \
-        .mapInPandas(_explode_doclens, docstats_schema) \
-        .write.mode("overwrite").parquet(os.path.join(index_path, "docstats"))
-
-    stats = spark.read.parquet(os.path.join(index_path, "docstats")).agg(
-        F.count("*").alias("num_docs"),
-        F.avg("doc_len").alias("avg_doc_len"),
-        F.sum("doc_len").alias("total_tokens"),
-    ).collect()[0]
+    stats = spark.read.parquet(os.path.join(index_path, "doclens")) \
+        .select("doc_lens").mapInPandas(_block_stats, stats_schema) \
+        .agg(F.sum("n").alias("num_docs"), F.sum("s").alias("total_tokens")) \
+        .withColumn("avg_doc_len",
+                    F.when(F.col("num_docs") > 0,
+                           F.col("total_tokens") / F.col("num_docs"))
+                    .otherwise(F.lit(0.0))) \
+        .collect()[0]
 
     meta = {
         "format_version": 1,
