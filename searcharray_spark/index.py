@@ -271,6 +271,20 @@ class SearchIndex:
         return self.score(token, similarity=similarity, slop=slop) \
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def top_k_many(self, tokens: Sequence[TokenArg], k: int = 10,
+                   similarity=None) -> DataFrame:
+        """Top-k per query token in ONE kernel pass (batch scoring):
+        (token_idx, doc_id, score, rank). Rank assignment mirrors the
+        reference's SetOfResults (utils/sort.py:21-45) as a window
+        row_number per token."""
+        from pyspark.sql import Window
+        hits = self.score_many(tokens, similarity=similarity)
+        w = Window.partitionBy("token_idx").orderBy(
+            F.desc("score"), F.asc("doc_id"))
+        return hits.withColumn("rank", F.row_number().over(w)) \
+            .filter(F.col("rank") <= k) \
+            .select("token_idx", "doc_id", "score", "rank")
+
     def positions(self, term: str) -> DataFrame:
         """Decoded positions per doc for one term (debug/API parity)."""
         docs_per_block = self.docs_per_block

@@ -197,6 +197,16 @@ def build_index(
 
     df = df.withColumn("block_id", F.floor(F.col("doc_id") / F.lit(docs_per_block)))
 
+    # pre-partition by block so the per-block kernels get full cluster
+    # parallelism (one-ish block per reducer); groupBy reuses this
+    # partitioning, and an explicit count keeps AQE from coalescing the
+    # CPU-heavy python stages onto a few reducers
+    max_doc = df.agg(F.max("doc_id")).collect()[0][0]
+    n_blocks = int(max_doc // docs_per_block) + 1 if max_doc is not None else 1
+    parallelism = spark.sparkContext.defaultParallelism
+    build_partitions = min(max(n_blocks, 1), max(4 * parallelism, 16))
+    df = df.repartition(build_partitions, "block_id")
+
     stage_path = os.path.join(index_path, "stage")
     marker_dir = os.path.join(index_path, "_groups")
     os.makedirs(marker_dir, exist_ok=True)
@@ -213,8 +223,10 @@ def build_index(
         staged = part.groupBy("block_id").applyInPandas(builder, STAGE_SCHEMA)
         staged.write.mode("append" if groups > 1 else "overwrite").parquet(stage_path)
         g_secs = time.time() - g_start
-        with open(marker, "w") as fh:
+        # atomic commit: a crash mid-write must not leave a partial marker
+        with open(marker + ".tmp", "w") as fh:
             json.dump({"group": g, "secs": g_secs}, fh)
+        os.replace(marker + ".tmp", marker)
         with open(metrics_path, "a") as fh:
             fh.write(json.dumps({
                 "stage": "build_group", "group": g,
