@@ -51,10 +51,11 @@ def run_bench(sf_dir: str, cpus: int, repeat: int = 3, index_root: str | None = 
 
     t0 = time.time()
     idx = build_index(spark, docs, index_root, doc_id_col="doc_id",
-                      tokenizer="ws", docs_per_block=1 << 14,
+                      tokenizer="ws", docs_per_block=1 << 12,
                       term_partitions=max(8, cpus))
     build_secs = time.time() - t0
 
+    idx.cache()
     q_times = {}
     for name, token in BENCH_QUERIES:
         best = float("inf")
@@ -69,6 +70,15 @@ def run_bench(sf_dir: str, cpus: int, repeat: int = 3, index_root: str | None = 
             _ = len(rows)
         q_times[name] = round(best, 4)
 
+    # batched: all non-OR queries in one kernel pass
+    batch_tokens = [t for n, t in BENCH_QUERIES if not n.startswith("or_")]
+    idx.top_k_many(batch_tokens, k=10).collect()
+    best_batch = float("inf")
+    for _ in range(repeat):
+        t0 = time.time()
+        idx.top_k_many(batch_tokens, k=10).collect()
+        best_batch = min(best_batch, time.time() - t0)
+
     total_query = sum(q_times.values())
     spark.stop()
     return {
@@ -78,6 +88,8 @@ def run_bench(sf_dir: str, cpus: int, repeat: int = 3, index_root: str | None = 
         "queries": q_times,
         "total_query_secs": round(total_query, 4),
         "queries_per_sec": round(len(q_times) / total_query, 3),
+        "batch_query_secs": round(best_batch, 4),
+        "batch_queries_per_sec": round(len(batch_tokens) / best_batch, 3),
     }
 
 
@@ -96,6 +108,7 @@ def main():
         "build_secs": res["build_secs"],
         "docs_per_sec": res["docs_per_sec"],
         "queries_per_sec": res["queries_per_sec"],
+        "batch_queries_per_sec": res["batch_queries_per_sec"],
         "cpus": cpus,
     }
     print(json.dumps(out))

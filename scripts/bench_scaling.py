@@ -106,6 +106,17 @@ def worker(cpus: int, n_docs: int, repeat: int = 3):
                           term_partitions=cpus)
         build_secs = min(build_secs, time.time() - t0)
 
+    # query from a fresh session (serving != building): the build session
+    # carries cached shuffle state + GC pressure that contaminates query
+    # latency measurements
+    idx_path = idx.path
+    spark.stop()
+    time.sleep(3)
+    from searcharray_spark import SearchIndex
+    spark = get_spark(f"scaling_q_{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    idx = SearchIndex(spark, idx_path)
+
     idx.cache()
     # batched throughput: all queries in ONE kernel pass (the
     # scale-relevant shape; also measured per-query below)

@@ -234,32 +234,33 @@ def build_index(
             }) + "\n")
 
     stage = spark.read.parquet(stage_path)
-
-    # --- postings: term-clustered for parquet min/max pruning on term ---
-    postings = stage.filter(F.col("kind") == "p").select(
-        "term", "block_id", "postings", "df", "tf_total", "tf_max")
     if term_partitions is None:
         term_partitions = max(4, spark.sparkContext.defaultParallelism)
-    postings.repartitionByRange(term_partitions, "term", "block_id") \
-        .sortWithinPartitions("term", "block_id") \
-        .write.mode("overwrite").parquet(os.path.join(index_path, "postings"))
 
-    # --- packed doclens per block ---
-    stage.filter(F.col("kind") == "d").select("block_id", "doc_ids", "doc_lens") \
-        .write.mode("overwrite").parquet(os.path.join(index_path, "doclens"))
+    # --- finalize: four independent jobs over the staged data, submitted
+    # concurrently (Spark schedules them together) so the serial tail of
+    # the build is one round, not four ---
+    def _write_postings():
+        stage.filter(F.col("kind") == "p") \
+            .select("term", "block_id", "postings", "df", "tf_total", "tf_max") \
+            .repartitionByRange(term_partitions, "term", "block_id") \
+            .sortWithinPartitions("term", "block_id") \
+            .write.mode("overwrite").parquet(os.path.join(index_path, "postings"))
 
-    # --- global term stats (the small, shuffle-light merge by term) ---
-    posts = spark.read.parquet(os.path.join(index_path, "postings"))
-    posts.groupBy("term").agg(
-        F.sum("df").alias("df"),
-        F.sum("tf_total").alias("tf_total"),
-        F.count("*").alias("n_blocks"),
-    ).repartitionByRange(max(1, term_partitions // 4), "term") \
-        .sortWithinPartitions("term") \
-        .write.mode("overwrite").parquet(os.path.join(index_path, "term_stats"))
+    def _write_doclens():
+        stage.filter(F.col("kind") == "d") \
+            .select("block_id", "doc_ids", "doc_lens") \
+            .write.mode("overwrite").parquet(os.path.join(index_path, "doclens"))
 
-    # --- corpus stats straight from the (tiny) packed doclens table;
-    # per-doc docstats are derived lazily at query time (SearchIndex) ---
+    def _write_term_stats():
+        stage.filter(F.col("kind") == "p").groupBy("term").agg(
+            F.sum("df").alias("df"),
+            F.sum("tf_total").alias("tf_total"),
+            F.count("*").alias("n_blocks"),
+        ).repartitionByRange(max(1, term_partitions // 4), "term") \
+            .sortWithinPartitions("term") \
+            .write.mode("overwrite").parquet(os.path.join(index_path, "term_stats"))
+
     stats_schema = StructType([
         StructField("n", LongType()), StructField("s", FloatType()),
     ])
@@ -270,14 +271,24 @@ def build_index(
                 lens = np.frombuffer(lens_raw, dtype="<f4")
                 yield pd.DataFrame({"n": [len(lens)], "s": [float(lens.sum())]})
 
-    stats = spark.read.parquet(os.path.join(index_path, "doclens")) \
-        .select("doc_lens").mapInPandas(_block_stats, stats_schema) \
-        .agg(F.sum("n").alias("num_docs"), F.sum("s").alias("total_tokens")) \
-        .withColumn("avg_doc_len",
-                    F.when(F.col("num_docs") > 0,
-                           F.col("total_tokens") / F.col("num_docs"))
-                    .otherwise(F.lit(0.0))) \
-        .collect()[0]
+    def _corpus_stats():
+        return stage.filter(F.col("kind") == "d") \
+            .select("doc_lens").mapInPandas(_block_stats, stats_schema) \
+            .agg(F.sum("n").alias("num_docs"), F.sum("s").alias("total_tokens")) \
+            .withColumn("avg_doc_len",
+                        F.when(F.col("num_docs") > 0,
+                               F.col("total_tokens") / F.col("num_docs"))
+                        .otherwise(F.lit(0.0))) \
+            .collect()[0]
+
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(4) as pool:
+        futs = [pool.submit(f) for f in
+                (_write_postings, _write_doclens, _write_term_stats)]
+        stats_fut = pool.submit(_corpus_stats)
+        for f in futs:
+            f.result()
+        stats = stats_fut.result()
 
     meta = {
         "format_version": 1,
