@@ -150,9 +150,11 @@ def main():
         return
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     out_path = sys.argv[2] if len(sys.argv) > 2 else "BENCH_scaling.json"
+    small_n = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    large_n = int(sys.argv[4]) if len(sys.argv) > 4 else 32
     ensure_corpus(n_docs)
     results = {}
-    for cpus in (8, 32):
+    for cpus in (small_n, large_n):
         os.sync()
         time.sleep(20)  # let writeback/reclaim from the prior run settle
         proc = subprocess.run(
@@ -166,12 +168,12 @@ def main():
             print(proc.stdout[-3000:], proc.stderr[-3000:])
             raise RuntimeError(f"worker {cpus} failed")
         results[cpus] = json.loads(line[-1][len("WORKER_RESULT "):])
-    small, large = results[8], results[32]
-    factor = 32 / 8
+    small, large = results[small_n], results[large_n]
+    factor = large_n / small_n
     result = {
         "n_docs": n_docs,
-        "local8": small,
-        "local32": large,
+        f"local{small_n}": small,
+        f"local{large_n}": large,
         "scaling_efficiency_build": round(
             (small["build_secs"] / large["build_secs"]) / factor, 3),
         "scaling_efficiency_query_batch": round(
