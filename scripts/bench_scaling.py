@@ -91,11 +91,12 @@ def worker(cpus: int, n_docs: int, repeat: int = 3):
     os.sync()
     time.sleep(5)
 
-    # best-of-2 timed builds (the sandbox VM sees host CPU steal; min
+    # best-of-N timed builds (the sandbox VM sees host CPU steal; min
     # approximates the uncontended throughput the protocol wants)
+    attempts = int(os.environ.get("BENCH_BUILD_ATTEMPTS", "2"))
     build_secs = float("inf")
     idx = None
-    for attempt in range(2):
+    for attempt in range(attempts):
         idx_path = f"/tmp/sa_scaling_idx_{cpus}_{attempt}"
         shutil.rmtree(idx_path, ignore_errors=True)
         os.sync()

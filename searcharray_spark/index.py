@@ -184,8 +184,14 @@ class SearchIndex:
                      "score": pd.Series([], dtype="float32")})
             block_id = int(key[0])
             base = block_id * docs_per_block
-            packed = {row.term: K.from_bytes(row.postings)
-                      for row in left.itertuples()}
+            packed = {}
+            for row in left.itertuples():
+                arr = K.from_bytes(row.postings)
+                prev = packed.get(row.term)
+                if prev is not None:  # chunked posting rows: merge sorted
+                    arr = np.concatenate((prev, arr))
+                    arr.sort(kind="stable")
+                packed[row.term] = arr
             dl_ids = np.frombuffer(right["doc_ids"].iloc[0], dtype="<i8")
             dl_lens = np.frombuffer(right["doc_lens"].iloc[0], dtype="<f4")
             out_tok, out_doc, out_tf, out_score = [], [], [], []
