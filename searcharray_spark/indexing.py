@@ -221,7 +221,11 @@ def build_index(
         g_start = time.time()
         part = df if groups == 1 else df.filter(F.pmod(F.col("block_id"), F.lit(groups)) == g)
         staged = part.groupBy("block_id").applyInPandas(builder, STAGE_SCHEMA)
-        staged.write.mode("append" if groups > 1 else "overwrite").parquet(stage_path)
+        # idempotent retry: each group owns a subdirectory and overwrites
+        # it, so a group that crashed after a partial/complete write is
+        # safely re-run on resume (no duplicate appends)
+        g_path = stage_path if groups == 1 else os.path.join(stage_path, f"group={g}")
+        staged.write.mode("overwrite").parquet(g_path)
         g_secs = time.time() - g_start
         # atomic commit: a crash mid-write must not leave a partial marker
         with open(marker + ".tmp", "w") as fh:
