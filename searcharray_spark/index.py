@@ -157,13 +157,36 @@ class SearchIndex:
         return self.avg_doc_len
 
     # --- core query kernel ------------------------------------------------
+
+    # broadcast the packed doclens when the whole table fits comfortably
+    # in executor memory (~16 bytes/doc) — kills the doclens shuffle on
+    # every query. Beyond this, queries fall back to the block cogroup.
+    DOCLENS_BROADCAST_MAX_DOCS = 32_000_000
+
+    def _doclens_broadcast(self):
+        if getattr(self, "_dl_bc", None) is None:
+            rows = self.doclens.collect()
+            table = {int(r["block_id"]): (r["doc_ids"], r["doc_lens"])
+                     for r in rows}
+            self._dl_bc = self.spark.sparkContext.broadcast(table)
+        return self._dl_bc
+
     def _hits(self, tokens: List[List[str]], similarity=None,
               min_posn: Optional[int] = None, max_posn: Optional[int] = None,
               slop: int = 0) -> DataFrame:
         """(token_idx, doc_id, tf, score) for each query token (term or
-        phrase), computed block-locally."""
+        phrase), computed block-locally.
+
+        Physical strategies (cheapest that fits):
+        1. single terms + broadcast doclens -> mapInPandas straight over
+           the pruned postings scan: ZERO shuffle before top-k.
+        2. phrases + broadcast doclens -> one shuffle (groupBy block) of
+           the pruned posting rows only.
+        3. doclens too large to broadcast -> block cogroup (both sides
+           shuffle by block_id; doc-axis partitioned, never by doc).
+        """
         if slop != 0:
-            from .spans import span_freqs  # noqa: F401  (phase-4 kernel)
+            from .spans import span_freqs  # noqa: F401  (fail fast on driver)
         sim_fn = sim_mod.resolve(similarity)
         all_terms = sorted({t for tok in tokens for t in tok})
         if not all_terms:
@@ -175,25 +198,17 @@ class SearchIndex:
         tokens_b = [list(t) for t in tokens]
         dfs_b = dict(dfs)
 
-        def kernel(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-            if len(left) == 0 or len(right) == 0:
-                return pd.DataFrame(
-                    {"token_idx": pd.Series([], dtype="int32"),
-                     "doc_id": pd.Series([], dtype="int64"),
-                     "tf": pd.Series([], dtype="float32"),
-                     "score": pd.Series([], dtype="float32")})
-            block_id = int(key[0])
+        def empty_out() -> pd.DataFrame:
+            return pd.DataFrame(
+                {"token_idx": pd.Series([], dtype="int32"),
+                 "doc_id": pd.Series([], dtype="int64"),
+                 "tf": pd.Series([], dtype="float32"),
+                 "score": pd.Series([], dtype="float32")})
+
+        def score_block(block_id: int, packed: dict, dl_raw) -> pd.DataFrame:
             base = block_id * docs_per_block
-            packed = {}
-            for row in left.itertuples():
-                arr = K.from_bytes(row.postings)
-                prev = packed.get(row.term)
-                if prev is not None:  # chunked posting rows: merge sorted
-                    arr = np.concatenate((prev, arr))
-                    arr.sort(kind="stable")
-                packed[row.term] = arr
-            dl_ids = np.frombuffer(right["doc_ids"].iloc[0], dtype="<i8")
-            dl_lens = np.frombuffer(right["doc_lens"].iloc[0], dtype="<f4")
+            dl_ids = np.frombuffer(dl_raw[0], dtype="<i8")
+            dl_lens = np.frombuffer(dl_raw[1], dtype="<f4")
             out_tok, out_doc, out_tf, out_score = [], [], [], []
             empty = np.zeros(0, dtype=np.uint64)
             for idx, tok in enumerate(tokens_b):
@@ -215,8 +230,7 @@ class SearchIndex:
                 if len(ids) == 0:
                     continue
                 tfs = tfs.astype(np.float32)
-                pos = np.searchsorted(dl_ids, ids)
-                dls = dl_lens[pos]
+                dls = dl_lens[np.searchsorted(dl_ids, ids)]
                 tok_dfs = np.asarray([dfs_b[t] for t in tok], dtype=np.float32)
                 scores = sim_fn(tfs, tok_dfs, dls, avgdl, num_docs)
                 out_tok.append(np.full(len(ids), idx, dtype=np.int32))
@@ -224,11 +238,7 @@ class SearchIndex:
                 out_tf.append(tfs)
                 out_score.append(np.asarray(scores, dtype=np.float32))
             if not out_tok:
-                return pd.DataFrame(
-                    {"token_idx": pd.Series([], dtype="int32"),
-                     "doc_id": pd.Series([], dtype="int64"),
-                     "tf": pd.Series([], dtype="float32"),
-                     "score": pd.Series([], dtype="float32")})
+                return empty_out()
             return pd.DataFrame({
                 "token_idx": np.concatenate(out_tok),
                 "doc_id": np.concatenate(out_doc),
@@ -236,10 +246,58 @@ class SearchIndex:
                 "score": np.concatenate(out_score),
             })
 
+        def merge_packed(left: pd.DataFrame) -> dict:
+            packed: dict = {}
+            for row in left.itertuples():
+                arr = K.from_bytes(row.postings)
+                prev = packed.get(row.term)
+                if prev is not None:  # chunked posting rows: merge sorted
+                    arr = np.concatenate((prev, arr))
+                    arr.sort(kind="stable")
+                packed[row.term] = arr
+            return packed
+
         posts = self.postings.filter(F.col("term").isin(all_terms))
+        single_terms_only = all(len(t) == 1 for t in tokens_b)
+
+        if self.num_docs <= self.DOCLENS_BROADCAST_MAX_DOCS:
+            dl_bc = self._doclens_broadcast()
+
+            if single_terms_only:
+                # zero-shuffle path: every posting row is independent
+                def map_kernel(it):
+                    table = dl_bc.value
+                    for pdf in it:
+                        if len(pdf) == 0:
+                            continue
+                        for block_id, grp in pdf.groupby("block_id"):
+                            dl_raw = table.get(int(block_id))
+                            if dl_raw is None:
+                                continue
+                            yield score_block(int(block_id),
+                                              merge_packed(grp), dl_raw)
+
+                return posts.select("term", "block_id", "postings") \
+                    .mapInPandas(map_kernel, HITS_SCHEMA)
+
+            def grouped_kernel(key, left: pd.DataFrame) -> pd.DataFrame:
+                dl_raw = dl_bc.value.get(int(key[0]))
+                if dl_raw is None or len(left) == 0:
+                    return empty_out()
+                return score_block(int(key[0]), merge_packed(left), dl_raw)
+
+            return posts.groupBy("block_id").applyInPandas(
+                grouped_kernel, HITS_SCHEMA)
+
+        def cogroup_kernel(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            if len(left) == 0 or len(right) == 0:
+                return empty_out()
+            dl_raw = (right["doc_ids"].iloc[0], right["doc_lens"].iloc[0])
+            return score_block(int(key[0]), merge_packed(left), dl_raw)
+
         return posts.groupBy("block_id").cogroup(
             self.doclens.groupBy("block_id")
-        ).applyInPandas(kernel, HITS_SCHEMA)
+        ).applyInPandas(cogroup_kernel, HITS_SCHEMA)
 
     # --- public API -------------------------------------------------------
     def termfreqs(self, token: TokenArg, min_posn: Optional[int] = None,
