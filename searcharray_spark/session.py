@@ -10,6 +10,13 @@ def get_spark(app_name: str = "searcharray_spark", master: str | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
     master = master or os.environ.get("SPARK_GRAFT_MASTER") \
         or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    # executor python workers must be able to import this package no
+    # matter the driver's cwd (cluster deploys use --py-files instead)
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + existing if existing else ""))
     if shuffle_partitions is None:
         if master.startswith("local["):
             inner = master[6:-1]
