@@ -173,7 +173,7 @@ class SearchIndex:
 
     def _hits(self, tokens: List[List[str]], similarity=None,
               min_posn: Optional[int] = None, max_posn: Optional[int] = None,
-              slop: int = 0) -> DataFrame:
+              slop: int = 0, block_ids: Optional[Sequence[int]] = None) -> DataFrame:
         """(token_idx, doc_id, tf, score) for each query token (term or
         phrase), computed block-locally.
 
@@ -258,6 +258,8 @@ class SearchIndex:
             return packed
 
         posts = self.postings.filter(F.col("term").isin(all_terms))
+        if block_ids is not None:
+            posts = posts.filter(F.col("block_id").isin([int(b) for b in block_ids]))
         single_terms_only = all(len(t) == 1 for t in tokens_b)
 
         if self.num_docs <= self.DOCLENS_BROADCAST_MAX_DOCS:
@@ -334,6 +336,64 @@ class SearchIndex:
         per-partition top-k then driver merge (TakeOrderedAndProject)."""
         return self.score(token, similarity=similarity, slop=slop) \
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def top_k_pruned(self, term: str, k: int = 10) -> DataFrame:
+        """Block-max pruned top-k for a single term — rank-identical to
+        ``top_k`` but scans only the doc blocks that can reach the top-k.
+
+        Uses the per-(term, block) block-max metadata written at index
+        time (``tf_max``, ``dl_min``): BM25 is monotone increasing in tf
+        and decreasing in dl, so
+            ub(block) = idf * tf_max / (tf_max + k1*(1-b+b*dl_min/avgdl))
+        bounds every score in the block. Two-phase plan (driver-side):
+        score the fewest highest-ub blocks holding >= k docs, take the
+        kth score as threshold, then rescan any remaining block whose ub
+        reaches it. (The distributed analogue of block-max WAND:
+        reference stores no block metadata and scores all docs.)
+        """
+        meta = self.postings.filter(F.col("term") == term) \
+            .groupBy("block_id").agg(F.max("tf_max").alias("tf_max"),
+                                     F.min("dl_min").alias("dl_min"),
+                                     F.sum("df").alias("df")).collect()
+        if not meta:
+            return self.spark.createDataFrame([], "doc_id long, score float")
+        df_global = self.docfreq(term)
+        sim = sim_mod.bm25_similarity()
+        blocks = []
+        for r in meta:
+            tf_m = np.float32(r["tf_max"])
+            dl_m = np.float32(r["dl_min"] if r["dl_min"] is not None else r["tf_max"])
+            ub = float(sim(np.asarray([tf_m]), np.asarray([df_global], dtype=np.float32),
+                           np.asarray([dl_m]), self.avg_doc_len, self.num_docs)[0])
+            blocks.append((int(r["block_id"]), ub, int(r["df"])))
+        blocks.sort(key=lambda b: (-b[1], b[0]))
+        chunk_size = max(8, self.spark.sparkContext.defaultParallelism)
+        best: List = []  # (neg_score, doc_id) heap-ish, kept sorted, len<=k
+        theta = None
+        scanned = 0
+        i = 0
+        while i < len(blocks):
+            if theta is not None and blocks[i][1] < theta:
+                break  # every remaining block's bound is below the kth score
+            chunk = []
+            while i < len(blocks) and len(chunk) < chunk_size and (
+                    theta is None or blocks[i][1] >= theta):
+                chunk.append(blocks[i][0])
+                i += 1
+            rows = self._hits([[term]], block_ids=chunk) \
+                .orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
+            scanned += len(chunk)
+            best.extend((r["score"], r["doc_id"]) for r in rows)
+            best.sort(key=lambda x: (-x[0], x[1]))
+            best = best[:k]
+            if len(best) >= k:
+                theta = best[-1][0]
+        out = self.spark.createDataFrame(
+            [(int(d), float(s)) for s, d in best], "doc_id long, score float") \
+            .select("doc_id", F.col("score").cast("float"))
+        out._wand_blocks_scanned = scanned  # introspection for tests
+        out._wand_blocks_total = len(blocks)
+        return out
 
     def top_k_many(self, tokens: Sequence[TokenArg], k: int = 10,
                    similarity=None) -> DataFrame:

@@ -57,6 +57,7 @@ STAGE_SCHEMA = StructType([
     StructField("df", LongType()),
     StructField("tf_total", LongType()),
     StructField("tf_max", LongType()),
+    StructField("dl_min", LongType()),       # min doc_len among matching docs
     StructField("doc_ids", BinaryType()),    # kind='d': i64-LE local doc ids
     StructField("doc_lens", BinaryType()),   # kind='d': f32-LE doc lens
 ])
@@ -131,28 +132,40 @@ def _make_block_builder(tokenizer_fn, docs_per_block: int, truncate: bool):
             [np.arange(n, dtype=np.int64) for n in lens]) if lens.sum() else np.array([], dtype=np.int64)
 
         codes, uniques = pd.factorize(flat_terms, sort=False)
-        c, starts, packed, df, tf_total, tf_max = K.encode_multi(codes, flat_docs, flat_posns)
+        (c, starts, packed, df, tf_total, tf_max,
+         doc_keys, term_doc_starts) = K.encode_multi(codes, flat_docs, flat_posns)
+
+        # per-(term, block) min doc length among matching docs — block-max
+        # metadata for WAND-style top-k pruning (with tf_max)
+        id_order = np.argsort(local_ids)
+        sorted_ids = local_ids[id_order]
+        sorted_lens = lens[id_order]
+        if len(doc_keys):
+            dls = sorted_lens[np.searchsorted(sorted_ids, doc_keys)]
+            dl_min = np.minimum.reduceat(dls, term_doc_starts)
+        else:
+            dl_min = np.zeros(0, dtype=np.int64)
 
         terms_out = []
         for i, code in enumerate(c):
             seg = packed[starts[i]:starts[i + 1]]
             terms_out.append((
                 block_id, "p", uniques[code], K.to_bytes(seg),
-                int(df[i]), int(tf_total[i]), int(tf_max[i]), None, None,
+                int(df[i]), int(tf_total[i]), int(tf_max[i]), int(dl_min[i]),
+                None, None,
             ))
         # packed doclens row for block-local scoring (no per-doc join at
         # query time; analogous to Lucene norms), sorted by local doc id
         # so the scorer can searchsorted into it
-        order = np.argsort(local_ids)
         terms_out.append((
-            block_id, "d", None, None, None, None, None,
-            local_ids[order].astype("<i8").tobytes(),
-            lens[order].astype("<f4").tobytes(),
+            block_id, "d", None, None, None, None, None, None,
+            sorted_ids.astype("<i8").tobytes(),
+            sorted_lens.astype("<f4").tobytes(),
         ))
         return pd.DataFrame(
             terms_out,
             columns=["block_id", "kind", "term", "postings", "df", "tf_total",
-                     "tf_max", "doc_ids", "doc_lens"],
+                     "tf_max", "dl_min", "doc_ids", "doc_lens"],
         )
 
     return build_block
@@ -246,7 +259,8 @@ def build_index(
     # the build is one round, not four ---
     def _write_postings():
         stage.filter(F.col("kind") == "p") \
-            .select("term", "block_id", "postings", "df", "tf_total", "tf_max") \
+            .select("term", "block_id", "postings", "df", "tf_total",
+                    "tf_max", "dl_min") \
             .repartitionByRange(term_partitions, "term", "block_id") \
             .sortWithinPartitions("term", "block_id") \
             .write.mode("overwrite").parquet(os.path.join(index_path, "postings"))
@@ -295,7 +309,7 @@ def build_index(
         stats = stats_fut.result()
 
     meta = {
-        "format_version": 1,
+        "format_version": 2,
         "tokenizer": tokenizer_name,
         "docs_per_block": docs_per_block,
         "truncate": truncate,

@@ -343,15 +343,19 @@ def encode_multi(term_codes: np.ndarray, doc_ids: np.ndarray, posns: np.ndarray)
     """Encode postings for many terms in one vectorized pass.
 
     Parameters: parallel arrays (term_code, local_doc_id, posn), any order.
-    Returns (codes, starts, packed, per_term_df, per_term_tf, per_term_tfmax):
+    Returns (codes, starts, packed, per_term_df, per_term_tf, per_term_tfmax,
+    doc_keys, term_doc_starts):
       - ``codes``: sorted unique term codes
       - ``starts``: word-offset of each term's slice in ``packed`` (len+1)
       - ``packed``: all terms' posting words, grouped by term, sorted within
       - per-term doc freq, total tf, and max per-doc tf (block-max metadata)
+      - ``doc_keys``: doc id of each (term, doc) entry, grouped by term
+      - ``term_doc_starts``: offset of each term's slice in ``doc_keys``
     """
     if len(term_codes) == 0:
         return (_EMPTY_I64, np.zeros(1, dtype=np.int64), _EMPTY_U64,
-                _EMPTY_I64, _EMPTY_I64, _EMPTY_I64)
+                _EMPTY_I64, _EMPTY_I64, _EMPTY_I64, _EMPTY_I64,
+                np.zeros(1, dtype=np.int64))
     c = np.asarray(term_codes, dtype=np.uint64)
     d = np.asarray(doc_ids, dtype=np.uint64)
     p = np.asarray(posns, dtype=np.uint64)
@@ -383,7 +387,8 @@ def encode_multi(term_codes: np.ndarray, doc_ids: np.ndarray, posns: np.ndarray)
     df = np.diff(np.concatenate((term_doc_change, [len(doc_tf)])))
     tf_total = np.add.reduceat(doc_tf, term_doc_change)
     tf_max = np.maximum.reduceat(doc_tf, term_doc_change)
-    return codes, term_starts, packed, df, tf_total, tf_max
+    doc_keys = k[doc_change].astype(np.int64)
+    return codes, term_starts, packed, df, tf_total, tf_max, doc_keys, term_doc_change
 
 
 # ---------------------------------------------------------------------------

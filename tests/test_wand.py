@@ -1,0 +1,42 @@
+"""Block-max pruned top-k: rank identity vs exhaustive scoring, plus
+actual pruning on a skewed corpus."""
+import numpy as np
+import pytest
+
+from searcharray_spark import build_index
+
+
+@pytest.fixture(scope="module")
+def skewed_index(spark, tmp_path_factory):
+    # one "hot" block of long docs + many blocks of short docs: the short
+    # docs score higher for the same tf, so block-max bounds vary
+    rng = np.random.default_rng(5)
+    docs = []
+    for i in range(2000):
+        if i % 400 == 7:
+            docs.append("target " + " ".join(["filler"] * 3))  # short: high score
+        elif i % 11 == 0:
+            docs.append("target " + " ".join(["filler"] * 80))  # long: low score
+        else:
+            docs.append(" ".join(rng.choice(["a", "b", "c", "filler"], 20)))
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    return build_index(spark, df, str(tmp_path_factory.mktemp("wand") / "idx"),
+                       doc_id_col="doc_id", docs_per_block=100)
+
+
+@pytest.mark.parametrize("term,k", [("target", 5), ("target", 10),
+                                    ("filler", 10), ("a", 3),
+                                    ("missing_term", 5)])
+def test_pruned_topk_rank_identical(skewed_index, term, k):
+    exact = [(r["doc_id"], r["score"])
+             for r in skewed_index.top_k(term, k=k).collect()]
+    pruned_df = skewed_index.top_k_pruned(term, k=k)
+    pruned = [(r["doc_id"], r["score"]) for r in pruned_df.collect()]
+    assert pruned == exact, (term, k)
+
+
+def test_pruning_actually_prunes(skewed_index):
+    out = skewed_index.top_k_pruned("target", k=5)
+    out.collect()
+    assert out._wand_blocks_scanned < out._wand_blocks_total, (
+        out._wand_blocks_scanned, out._wand_blocks_total)
