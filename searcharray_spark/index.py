@@ -444,6 +444,26 @@ class SearchIndex:
     def search_and(self, tokens: Sequence[TokenArg], similarity=None) -> DataFrame:
         return self.search_or(tokens, mm=len(tokens), similarity=similarity)
 
+    def memory_report(self, top_n: int = 10) -> dict:
+        """Index size accounting incl. the largest terms (reference
+        memory_report, postings.py:570-602): on-disk bytes per table +
+        top-N terms by posting bytes."""
+        report: dict = {"tables": {}, "top_terms": []}
+        for table in ("postings", "doclens", "term_stats"):
+            p = os.path.join(self.path, table)
+            total = 0
+            for root, _, files in os.walk(p):
+                total += sum(os.path.getsize(os.path.join(root, f))
+                             for f in files if f.endswith(".parquet"))
+            report["tables"][table] = total
+        rows = self.postings.groupBy("term") \
+            .agg(F.sum(F.length("postings")).alias("bytes")) \
+            .orderBy(F.desc("bytes")).limit(top_n).collect()
+        report["top_terms"] = [(r["term"], int(r["bytes"])) for r in rows]
+        report["num_docs"] = self.num_docs
+        report["total_bytes"] = sum(report["tables"].values())
+        return report
+
     # --- dense helpers (test parity at small scale only) ------------------
     def termfreqs_dense(self, token: TokenArg, **kw) -> np.ndarray:
         rows = self.termfreqs(token, **kw).collect()
