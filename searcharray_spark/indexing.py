@@ -13,11 +13,14 @@ re-architected for a multi-executor cluster, not ported):
    vectorized), flatten to (term, local_doc, posn), one-pass multi-term
    encode into packed uint64 posting arrays + per-term block stats
    (df, tf_total, block-max tf for WAND-style pruning).
-4. shuffle-merge by term: per-(term, block) rows are range-partitioned by
-   (term, block_id) — a hot term's rows spread across reducers (skew-safe
-   without explicit salting because rows are pre-aggregated per block:
-   the classic two-stage/combiner shape) — then written sorted by term so
-   parquet row-group min/max stats prune query-term scans.
+4. shuffle-merge by term: per-(term, block) rows — pre-aggregated per
+   block (combiner shape) and CHUNKED to a bounded byte size
+   (``max_words_per_row``) so a hot term is many small rows, not one
+   huge one — are range-partitioned by (term, block_id). Row-count
+   balancing then also balances bytes: hot-term skew spreads across
+   reducers (tested: tests/test_build_resume.py). Files are written
+   sorted by term so parquet row-group min/max stats prune query-term
+   scans.
 5. checkpointed build: blocks are processed in groups; each completed
    group commits its output + a marker, so a killed build resumes from
    the last committed group (north_rule resumability). Per-group metrics
@@ -104,11 +107,19 @@ def assign_doc_ids(df: DataFrame, order_col: str, num_partitions: Optional[int] 
     return part.mapInPandas(_assign, out_schema)
 
 
-def _make_block_builder(tokenizer_fn, docs_per_block: int, truncate: bool):
+def _make_block_builder(tokenizer_fn, docs_per_block: int, truncate: bool,
+                        max_words_per_row: int = 131072):
     """Per-block kernel: tokenize + build packed postings for one doc block.
 
     The tokenizer callable is captured in the closure (cloudpickle ships it
     to executors), so custom tokenizers work without registry round-trips.
+
+    ``max_words_per_row`` caps one posting row's packed words (~8 bytes
+    each): a hot term ("the" at web scale) becomes MANY bounded rows
+    instead of one huge one, so the row-count-balanced range partitioning
+    of the postings write also balances bytes — hot-term skew is spread
+    across reducers without explicit salting. Chunks split at doc
+    boundaries; the query kernel re-merges them.
     """
 
     def build_block(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -149,11 +160,33 @@ def _make_block_builder(tokenizer_fn, docs_per_block: int, truncate: bool):
         terms_out = []
         for i, code in enumerate(c):
             seg = packed[starts[i]:starts[i + 1]]
-            terms_out.append((
-                block_id, "p", uniques[code], K.to_bytes(seg),
-                int(df[i]), int(tf_total[i]), int(tf_max[i]), int(dl_min[i]),
-                None, None,
-            ))
+            if len(seg) <= max_words_per_row:
+                terms_out.append((
+                    block_id, "p", uniques[code], K.to_bytes(seg),
+                    int(df[i]), int(tf_total[i]), int(tf_max[i]),
+                    int(dl_min[i]), None, None,
+                ))
+                continue
+            # chunk an oversized posting row at doc boundaries
+            seg_keys = (seg >> np.uint64(36)).astype(np.int64)
+            doc_bounds = np.concatenate(
+                ([0], np.flatnonzero(np.diff(seg_keys)) + 1, [len(seg)]))
+            start_w = 0
+            while start_w < len(seg):
+                target = start_w + max_words_per_row
+                cut = doc_bounds[np.searchsorted(doc_bounds, target, "left")] \
+                    if target < len(seg) else len(seg)
+                if cut <= start_w:
+                    cut = len(seg)
+                chunk = seg[start_w:cut]
+                ids_c, tfs_c = K.termfreqs(chunk)
+                dls_c = sorted_lens[np.searchsorted(sorted_ids, ids_c)]
+                terms_out.append((
+                    block_id, "p", uniques[code], K.to_bytes(chunk),
+                    int(len(ids_c)), int(tfs_c.sum()), int(tfs_c.max()),
+                    int(dls_c.min()), None, None,
+                ))
+                start_w = cut
         # packed doclens row for block-local scoring (no per-doc join at
         # query time; analogous to Lucene norms), sorted by local doc id
         # so the scorer can searchsorted into it
@@ -184,6 +217,7 @@ def build_index(
     term_partitions: Optional[int] = None,
     checkpoint_groups: int = 1,
     resume: bool = False,
+    max_words_per_row: int = 131072,
 ):
     """Build the inverted index; returns a loaded ``SearchIndex``.
 
@@ -223,7 +257,8 @@ def build_index(
     stage_path = os.path.join(index_path, "stage")
     marker_dir = os.path.join(index_path, "_groups")
     os.makedirs(marker_dir, exist_ok=True)
-    builder = _make_block_builder(tokenizer_fn, docs_per_block, truncate)
+    builder = _make_block_builder(tokenizer_fn, docs_per_block, truncate,
+                                  max_words_per_row)
 
     groups = max(1, checkpoint_groups)
     metrics_path = os.path.join(index_path, "metrics.jsonl")

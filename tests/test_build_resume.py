@@ -106,3 +106,21 @@ def test_truncate_long_doc(spark, tmp_path):
     assert tf.tolist() == [1, 0]
     dl = idx.doclengths_dense()
     assert dl[0] == MAX_POSN + 1
+
+
+def test_hot_term_rows_spread_across_files(spark, tmp_path):
+    """Skew handling: a hot term's posting rows are pre-aggregated per
+    block AND range-partitioned by (term, block_id), so they spread
+    across output partitions instead of landing on one reducer (the
+    salting-equivalent for the 'the'-at-web-scale problem)."""
+    from pyspark.sql import functions as F
+    docs = [(i, "the " * 5 + f"w{i % 50}") for i in range(4000)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    idx = build_index(spark, df, str(tmp_path / "skew"), doc_id_col="doc_id",
+                      docs_per_block=64, term_partitions=8,
+                      max_words_per_row=4)
+    files = idx.postings.filter(F.col("term") == "the") \
+        .select(F.input_file_name().alias("f")).distinct().count()
+    rows = idx.postings.filter(F.col("term") == "the").count()
+    assert rows > 32  # one pre-aggregated row per block
+    assert files > 1, "hot term collapsed onto a single output partition"
