@@ -27,11 +27,41 @@ tok AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) - 1 AS
 """
 
 _INDEX_CACHE: dict = {}
+_PKG_SHIPPED: set = set()
+
+
+def _ensure_pkg_on_executors(spark: SparkSession) -> None:
+    """Ship searcharray_spark to executor python workers via addPyFile —
+    the kernel closures reference the package by module, so workers must
+    be able to import it even if the session's JVM launched with a cwd /
+    PYTHONPATH that doesn't include this repo."""
+    key = id(spark.sparkContext)
+    if key in _PKG_SHIPPED:
+        return
+    import tempfile
+    import zipfile
+
+    import searcharray_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(searcharray_spark.__file__))
+    zpath = os.path.join(tempfile.gettempdir(), "searcharray_spark_pkg.zip")
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for root, _, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        z.write(full, rel)
+    spark.sparkContext.addPyFile(zpath)
+    _PKG_SHIPPED.add(key)
 
 
 def _index_for(spark: SparkSession, sf_dir: str):
     """Build (once) and cache the inverted index for a testdata dir."""
     from searcharray_spark import SearchIndex, build_index
+
+    _ensure_pkg_on_executors(spark)
 
     key = os.path.abspath(sf_dir)
     if key in _INDEX_CACHE:
