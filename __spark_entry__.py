@@ -379,19 +379,24 @@ def oracle_sql() -> dict[str, str]:
                          THEN list_sum(list_transform(toks, x -> len(x)))::DOUBLE / len(toks)
                          ELSE 0.0 END, 6) AS avg_token_len
             FROM d""",
+        # rounding: floor(x*1e6 + 0.5)/1e6 — identical double-op sequence to
+        # the Spark expression (textops._round6), so no half-ulp divergence
         "quality_score": f"""
             WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
             s AS (SELECT doc_id, len(toks) AS n,
                          len(list_distinct(toks)) AS nu,
                          len(list_filter(toks, x -> x IN ({stop_in}))) AS ns
-                  FROM d)
+                  FROM d),
+            r AS (SELECT doc_id, n,
+                         CASE WHEN n > 0 THEN nu::DOUBLE / n ELSE 0.0 END AS ur,
+                         CASE WHEN n > 0 THEN ns::DOUBLE / n ELSE 0.0 END AS sr
+                  FROM s)
             SELECT doc_id, n::BIGINT AS n_tokens,
-                   round(CASE WHEN n > 0 THEN nu::DOUBLE / n ELSE 0.0 END, 6) AS unique_ratio,
-                   round(CASE WHEN n > 0 THEN ns::DOUBLE / n ELSE 0.0 END, 6) AS stopword_ratio,
-                   round(least(1.0, n / 100.0) * 0.5
-                         + round(CASE WHEN n > 0 THEN nu::DOUBLE / n ELSE 0.0 END, 6) * 0.3
-                         + least(1.0, round(CASE WHEN n > 0 THEN ns::DOUBLE / n ELSE 0.0 END, 6) * 5) * 0.2, 6) AS quality
-            FROM s""",
+                   floor(ur * 1e6 + 0.5) / 1e6 AS unique_ratio,
+                   floor(sr * 1e6 + 0.5) / 1e6 AS stopword_ratio,
+                   floor((least(1.0, n / 100.0) * 0.5 + ur * 0.3
+                          + least(1.0, sr * 5) * 0.2) * 1e6 + 0.5) / 1e6 AS quality
+            FROM r""",
         "lang_id": f"""
             WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
             s AS (SELECT doc_id, len(toks) AS n,

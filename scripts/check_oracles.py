@@ -25,7 +25,8 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
         elif "float" in str(df[c].dtype):
-            df[c] = df[c].astype(float).round(5)
+            # the driver gate hashes values at 6-decimal precision — match it
+            df[c] = df[c].astype(float).round(6)
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 

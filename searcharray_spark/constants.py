@@ -30,12 +30,9 @@ HEADER_MASK = np.uint64(KEY_MASK | PAYLOAD_MSB_MASK)
 KEY_SHIFT = np.uint64(36)
 MSB_SHIFT = np.uint64(18)
 
-# Max position storable: 18-bit block number * 18 positions - 1
-# (reference: phrase/middle_out.py:41 MAX_POSN = encoder.max_payload)
-MAX_POSN = int(((1 << 18) - 1) * 18 + 17)  # 4718591? no — see below
-
-# The reference defines max_payload = 2**18 - 1 = 262143 (roaringish.py:86):
-# the *position* value itself is capped at 18 bits, not block*18.
+# Max storable position: the reference caps the position VALUE at 18 bits
+# (max_payload = 2**18 - 1, /root/reference/searcharray/roaringish/
+# roaringish.py:86 via phrase/middle_out.py:41).
 MAX_POSN = (1 << 18) - 1  # 262143
 
 # Default documents per doc-id block (Spark partition of the doc axis).

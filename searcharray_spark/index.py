@@ -232,7 +232,9 @@ class SearchIndex:
                 tfs = tfs.astype(np.float32)
                 dls = dl_lens[np.searchsorted(dl_ids, ids)]
                 tok_dfs = np.asarray([dfs_b[t] for t in tok], dtype=np.float32)
-                scores = sim_fn(tfs, tok_dfs, dls, avgdl, num_docs)
+                # copy: reference-style similarities (bm25.pyx) mutate
+                # term_freqs in place; the tf column must stay raw tfs
+                scores = sim_fn(tfs.copy(), tok_dfs, dls, avgdl, num_docs)
                 out_tok.append(np.full(len(ids), idx, dtype=np.int32))
                 out_doc.append(ids + base)
                 out_tf.append(tfs)
@@ -337,38 +339,83 @@ class SearchIndex:
         return self.score(token, similarity=similarity, slop=slop) \
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
-    def top_k_pruned(self, term: str, k: int = 10) -> DataFrame:
-        """Block-max pruned top-k for a single term — rank-identical to
-        ``top_k`` but scans only the doc blocks that can reach the top-k.
+    # relative safety margin on block upper bounds: the kernel computes
+    # scores in float32; bounds are float64-of-float32-inputs, so pad by
+    # a few ulps to never prune a block holding a true top-k doc
+    _WAND_EPS = 1e-5
+
+    def _block_bounds(self, tokens: List[List[str]]) -> dict:
+        """Per-block score upper bound for an OR query over ``tokens``.
 
         Uses the per-(term, block) block-max metadata written at index
         time (``tf_max``, ``dl_min``): BM25 is monotone increasing in tf
         and decreasing in dl, so
-            ub(block) = idf * tf_max / (tf_max + k1*(1-b+b*dl_min/avgdl))
-        bounds every score in the block. Two-phase plan (driver-side):
-        score the fewest highest-ub blocks holding >= k docs, take the
-        kth score as threshold, then rescan any remaining block whose ub
-        reaches it. (The distributed analogue of block-max WAND:
-        reference stores no block metadata and scores all docs.)
+            ub(term, block) = idf * tf_max / (tf_max + k1*(1-b+b*dl_min/avgdl))
+        bounds every doc's term contribution in the block; the block
+        bound is the sum over query tokens (MaxScore/block-max-WAND
+        bound). A phrase token's bound uses min(tf_max) over its
+        constituent terms (phrase freq <= every constituent tf) with the
+        summed-df idf the scorer uses (reference postings.py:652-680).
         """
-        meta = self.postings.filter(F.col("term") == term) \
-            .groupBy("block_id").agg(F.max("tf_max").alias("tf_max"),
-                                     F.min("dl_min").alias("dl_min"),
-                                     F.sum("df").alias("df")).collect()
-        if not meta:
-            return self.spark.createDataFrame([], "doc_id long, score float")
-        df_global = self.docfreq(term)
-        sim = sim_mod.bm25_similarity()
-        blocks = []
+        all_terms = sorted({t for tok in tokens for t in tok})
+        meta = self.postings.filter(F.col("term").isin(all_terms)) \
+            .groupBy("term", "block_id").agg(F.max("tf_max").alias("tf_max"),
+                                             F.min("dl_min").alias("dl_min")) \
+            .collect()
+        per_term: dict = {}
         for r in meta:
-            tf_m = np.float32(r["tf_max"])
-            dl_m = np.float32(r["dl_min"] if r["dl_min"] is not None else r["tf_max"])
-            ub = float(sim(np.asarray([tf_m]), np.asarray([df_global], dtype=np.float32),
-                           np.asarray([dl_m]), self.avg_doc_len, self.num_docs)[0])
-            blocks.append((int(r["block_id"]), ub, int(r["df"])))
-        blocks.sort(key=lambda b: (-b[1], b[0]))
+            per_term.setdefault(r["term"], {})[int(r["block_id"])] = (
+                float(r["tf_max"]), float(r["dl_min"] if r["dl_min"] is not None
+                                           else r["tf_max"]))
+        dfs = self.docfreqs(all_terms)
+        sim = sim_mod.bm25_similarity()
+        bounds: dict = {}
+        for tok in tokens:
+            tok_blocks = None
+            for t in tok:  # a phrase needs every term in the block
+                blks = set(per_term.get(t, {}))
+                tok_blocks = blks if tok_blocks is None else tok_blocks & blks
+            if not tok_blocks:
+                continue
+            tok_dfs = np.asarray([dfs[t] for t in tok], dtype=np.float32)
+            for b in tok_blocks:
+                tf_m = min(per_term[t][b][0] for t in tok)
+                dl_m = min(per_term[t][b][1] for t in tok)
+                ub = float(sim(np.asarray([tf_m], dtype=np.float32), tok_dfs,
+                               np.asarray([dl_m], dtype=np.float32),
+                               self.avg_doc_len, self.num_docs)[0])
+                bounds[b] = bounds.get(b, 0.0) + ub * (1.0 + self._WAND_EPS)
+        return bounds
+
+    def top_k_pruned(self, tokens: Union[TokenArg, Sequence[TokenArg]],
+                     k: int = 10, similarity=None) -> DataFrame:
+        """Block-max pruned top-k — rank-identical to exhaustive scoring
+        (``top_k`` for one token; ``search_or(...).orderBy`` for many)
+        but scans only the doc blocks whose bound can reach the top-k.
+
+        Two-phase driver plan (the distributed analogue of block-max
+        WAND/MaxScore; the reference scores all docs): score the
+        highest-bound blocks first in cluster-sized chunks; once k docs
+        are held, theta = kth score and every remaining block with
+        bound < theta is skipped. Each chunk is one Spark job over a
+        partition-pruned postings scan; only top-k rows return.
+        """
+        if isinstance(tokens, str):
+            tokens_list = [[tokens]]
+        else:
+            seq = list(tokens)
+            if seq and all(isinstance(t, str) for t in seq):
+                # a bare list of strings is an OR query over single terms
+                tokens_list = [[t] for t in seq]
+            else:
+                tokens_list = [_normalize_token(t) for t in seq]
+        bounds = self._block_bounds(tokens_list)
+        if not bounds:
+            return self.spark.createDataFrame([], "doc_id long, score float")
+        blocks = sorted(((b, ub) for b, ub in bounds.items()),
+                        key=lambda x: (-x[1], x[0]))
         chunk_size = max(8, self.spark.sparkContext.defaultParallelism)
-        best: List = []  # (neg_score, doc_id) heap-ish, kept sorted, len<=k
+        best: List = []  # (score, doc_id), kept sorted desc, len<=k
         theta = None
         scanned = 0
         i = 0
@@ -380,7 +427,9 @@ class SearchIndex:
                     theta is None or blocks[i][1] >= theta):
                 chunk.append(blocks[i][0])
                 i += 1
-            rows = self._hits([[term]], block_ids=chunk) \
+            hits = self._hits(tokens_list, similarity=similarity,
+                              block_ids=chunk)
+            rows = hits.groupBy("doc_id").agg(F.sum("score").alias("score")) \
                 .orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
             scanned += len(chunk)
             best.extend((r["score"], r["doc_id"]) for r in rows)
@@ -389,7 +438,7 @@ class SearchIndex:
             if len(best) >= k:
                 theta = best[-1][0]
         out = self.spark.createDataFrame(
-            [(int(d), float(s)) for s, d in best], "doc_id long, score float") \
+            [(int(d), float(s)) for s, d in best], "doc_id long, score double") \
             .select("doc_id", F.col("score").cast("float"))
         out._wand_blocks_scanned = scanned  # introspection for tests
         out._wand_blocks_total = len(blocks)

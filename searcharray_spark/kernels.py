@@ -130,12 +130,46 @@ def docfreq(packed: np.ndarray) -> int:
 
 
 def slice_keys(packed: np.ndarray, doc_ids: np.ndarray) -> np.ndarray:
-    """Semi-join: keep words whose doc id is in ``doc_ids`` (sorted unique)."""
+    """Semi-join: keep words whose doc id is in ``doc_ids`` (sorted unique).
+
+    O(n log m) searchsorted probe — ``packed``'s keys are sorted
+    (non-unique), ``doc_ids`` sorted unique, so no re-sort is needed
+    (reference encoder.slice semantics, roaringish.py:245-282).
+    """
     if len(packed) == 0 or len(doc_ids) == 0:
         return _EMPTY_U64
     k = keys(packed)
-    mask = np.isin(k, doc_ids, assume_unique=False)
-    return packed[mask]
+    pos = np.searchsorted(doc_ids, k)
+    pos[pos == len(doc_ids)] = len(doc_ids) - 1
+    return packed[doc_ids[pos] == k]
+
+
+def unique_keys(packed: np.ndarray) -> np.ndarray:
+    """Sorted distinct doc ids of a packed posting array (keys are already
+    sorted, so dedupe is a diff scan, not a sort)."""
+    if len(packed) == 0:
+        return _EMPTY_I64
+    k = keys(packed)
+    starts = np.concatenate(([0], np.flatnonzero(np.diff(k)) + 1))
+    return k[starts]
+
+
+def _intersect_sorted(a: np.ndarray, b: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Index pairs of equal elements of two sorted unique arrays.
+
+    Galloping-style: binary-search the smaller side into the larger —
+    O(n log m) instead of np.intersect1d's O((n+m) log (n+m)) re-sort
+    (reference intersect.pyx:32-74 semantics).
+    """
+    if len(a) == 0 or len(b) == 0:
+        return _EMPTY_I64, _EMPTY_I64
+    if len(a) > len(b):
+        ib, ia = _intersect_sorted(b, a)
+        return ia, ib
+    pos = np.searchsorted(b, a)
+    pos[pos == len(b)] = len(b) - 1
+    found = b[pos] == a
+    return np.flatnonzero(found), pos[found]
 
 
 def slice_posn_window(packed: np.ndarray, min_posn: Optional[int], max_posn: Optional[int]) -> np.ndarray:
@@ -193,8 +227,8 @@ def _min_intersect(ids, counts, new_ids, new_counts) -> Tuple[np.ndarray, np.nda
     middle_out._intersect_bigram_matches)."""
     if ids is None:
         return new_ids, new_counts
-    common, ia, ib = np.intersect1d(ids, new_ids, assume_unique=True, return_indices=True)
-    return common, np.minimum(counts[ia], new_counts[ib])
+    ia, ib = _intersect_sorted(ids, new_ids)
+    return ids[ia], np.minimum(counts[ia], new_counts[ib])
 
 
 def _phrase_step(lhs: np.ndarray, rhs: np.ndarray, cont_lhs_side: bool):
@@ -215,7 +249,7 @@ def _phrase_step(lhs: np.ndarray, rhs: np.ndarray, cont_lhs_side: bool):
     h_r = headers(rhs)
 
     # --- inner (same posn block) ---
-    common, li, ri = np.intersect1d(h_l, h_r, assume_unique=True, return_indices=True)
+    li, ri = _intersect_sorted(h_l, h_r)
     lhs_int = lhs[li]
     rhs_int = rhs[ri]
 
@@ -268,7 +302,7 @@ def _phrase_step(lhs: np.ndarray, rhs: np.ndarray, cont_lhs_side: bool):
         if len(cont_inner):
             hdr_inner = cont_inner & HEADER_MASK
             hdr_adj = cont_adj & HEADER_MASK
-            _, ii, ai = np.intersect1d(hdr_inner, hdr_adj, assume_unique=True, return_indices=True)
+            ii, ai = _intersect_sorted(hdr_inner, hdr_adj)
             if len(ii):
                 cont_inner = cont_inner.copy()
                 cont_inner[ii] |= ADJ_BIT if cont_lhs_side else _1
@@ -284,13 +318,36 @@ def _phrase_step(lhs: np.ndarray, rhs: np.ndarray, cont_lhs_side: bool):
     return ids, counts, cont
 
 
+# rare-first trim: slice posting arrays this many times longer than the
+# rarest term's down to the rarest term's doc set before chaining
+# (reference trim_phrase_search, middle_out.py:44-70)
+TRIM_FACTOR = 20
+
+
+def trim_to_rarest(encoded: List[np.ndarray]) -> List[np.ndarray]:
+    """Semi-join long posting arrays against the rarest term's doc set.
+
+    A phrase match needs every term in the doc, so docs absent from the
+    shortest (rarest) term's postings can never match — slicing hot
+    terms' postings to that doc set cuts the chain cost from O(hot) to
+    O(rare) (reference middle_out.trim_phrase_search).
+    """
+    lengths = [len(e) for e in encoded]
+    sh = min(lengths)
+    if sh == 0 or max(lengths) <= TRIM_FACTOR * sh:
+        return encoded
+    rare_keys = unique_keys(encoded[lengths.index(sh)])
+    return [e if len(e) <= TRIM_FACTOR * sh else slice_keys(e, rare_keys)
+            for e in encoded]
+
+
 def phrase_freqs(encoded: List[np.ndarray]) -> Tuple[np.ndarray, np.ndarray]:
     """Exact-phrase per-doc frequencies over packed posting arrays.
 
-    Chain of bigram steps with continuation; per-doc count = min of the
-    per-step bigram counts on docs present in every step (reference
-    middle_out.compute_phrase_freqs, including its direction heuristic).
-    Returns (doc_ids, counts), doc_ids sorted.
+    Rare-first trim, then a chain of bigram steps with continuation;
+    per-doc count = min of the per-step bigram counts on docs present in
+    every step (reference middle_out.compute_phrase_freqs, including its
+    direction heuristic). Returns (doc_ids, counts), doc_ids sorted.
     """
     if len(encoded) == 0:
         return _EMPTY_I64, _EMPTY_I64
@@ -298,12 +355,17 @@ def phrase_freqs(encoded: List[np.ndarray]) -> Tuple[np.ndarray, np.ndarray]:
         return termfreqs(encoded[0])
     if any(len(e) == 0 for e in encoded):
         return _EMPTY_I64, _EMPTY_I64
+    encoded = trim_to_rarest(encoded)
     shortest = min(range(len(encoded)), key=lambda i: len(encoded[i]))
     if shortest <= 1:
         return _chain_l2r(encoded)
     if shortest >= len(encoded) - 2:
         return _chain_r2l(encoded)
-    l_ids, l_counts = _chain_l2r(encoded[:shortest])
+    # split at the rarest term, include it in BOTH halves so every
+    # adjacent bigram (incl. shortest-1 -> shortest) is constrained —
+    # strictly tighter than the reference's exclusive split, which can
+    # overcount (e.g. 'a b X c d e' matching 'a b c d e')
+    l_ids, l_counts = _chain_l2r(encoded[:shortest + 1])
     r_ids, r_counts = _chain_r2l(encoded[shortest:])
     ids, counts = _min_intersect(l_ids, l_counts, r_ids, r_counts)
     return ids, counts

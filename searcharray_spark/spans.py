@@ -1,4 +1,4 @@
-"""Sloppy-phrase (proximity span) matching.
+"""Sloppy-phrase (proximity span) matching — vectorized.
 
 Reference behavior: /root/reference/searcharray/phrase/spans.py +
 roaringish/spans.pyx — a stateful span automaton the reference itself
@@ -20,9 +20,22 @@ expectations (test_slop_matches.py) except the degenerate repeated-term
 case ("the the the") that the reference automaton cannot genuinely span
 (positions spread 21 apart vs max width 6) — we count that as no match.
 
-Execution model: spans run on post-intersection candidate docs only
-(docs containing all terms), so the per-doc Python loop touches a tiny
-set; the heavy lifting (candidate intersection, decode) is vectorized.
+Execution model (all-numpy, no per-event Python):
+
+1. Candidate docs = docs holding every distinct term with its needed
+   multiplicity (vectorized posting-key intersection).
+2. All candidates' positions are flattened into ONE event array with
+   composite positions ``doc_rank * STRIDE + posn`` (STRIDE > MAX_POSN +
+   max_width, so windows can never span docs).
+3. The greedy count uses the classic observation that the minimal cover
+   window ending at event r is [Lmax(r), r], where Lmax(r) = min over
+   terms t of the position of the need_t-th most recent occurrence of t
+   at or before r — computed for ALL events at once with searchsorted.
+   Lmax is monotone in r, so greedy disjoint selection is a tiny loop
+   that runs once per MATCH (binary search per step), not per event.
+
+A pure-Python reference implementation (``_count_windows_py``) is kept
+for property tests (tests/test_spans.py cross-checks the two).
 """
 from __future__ import annotations
 
@@ -32,8 +45,13 @@ from typing import Dict, List, Tuple
 import numpy as np
 
 from . import kernels as K
+from .constants import MAX_POSN
 
 _EMPTY_I64 = np.zeros(0, dtype=np.int64)
+
+# composite-position stride between docs: no window (width <= MAX_POSN)
+# can cross a doc boundary
+_STRIDE = np.int64(1) << np.int64(20)
 
 
 def _positions_by_doc(packed: np.ndarray) -> Dict[int, np.ndarray]:
@@ -44,8 +62,113 @@ def _positions_by_doc(packed: np.ndarray) -> Dict[int, np.ndarray]:
     return {int(ids[s]): posns[s:e] for s, e in zip(starts[:-1], starts[1:])}
 
 
-def _count_windows(events: List[Tuple[int, int]], need: Dict[int, int],
-                   max_width: int) -> int:
+def _group_terms(encoded: List[np.ndarray]) -> Tuple[List[np.ndarray], List[int]]:
+    """Group identical query terms -> (unique arrays, multiplicities)."""
+    uniq: List[np.ndarray] = []
+    need: List[int] = []
+    for e in encoded:
+        key = None
+        for i, u in enumerate(uniq):
+            if u is e or (len(u) == len(e) and np.array_equal(u, e)):
+                key = i
+                break
+        if key is None:
+            uniq.append(e)
+            need.append(0)
+            key = len(uniq) - 1
+        need[key] += 1
+    return uniq, need
+
+
+def span_freqs(encoded: List[np.ndarray], slop: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-doc sloppy-phrase frequencies over packed posting arrays.
+
+    Returns (doc_ids, counts), doc_ids sorted ascending.
+    """
+    if len(encoded) < 2:
+        raise ValueError("phrase must have at least two terms")
+    if any(len(e) == 0 for e in encoded):
+        return _EMPTY_I64, _EMPTY_I64
+
+    uniq, need = _group_terms(encoded)
+    n_terms = len(uniq)
+    max_width = len(encoded) - 1 + slop
+    if max_width >= int(_STRIDE) - MAX_POSN:  # pragma: no cover - absurd slop
+        raise ValueError("slop too large for composite-position layout")
+
+    # --- candidate docs: in every term's postings with enough positions
+    cand = None
+    for i, u in enumerate(uniq):
+        ids, tfs = K.termfreqs(u)
+        ok = ids[tfs >= need[i]]
+        cand = ok if cand is None else cand[np.isin(cand, ok, assume_unique=True)]
+        if len(cand) == 0:
+            return _EMPTY_I64, _EMPTY_I64
+
+    # --- flatten candidates' positions into one composite event array
+    cpos_parts: List[np.ndarray] = []
+    term_parts: List[np.ndarray] = []
+    for i, u in enumerate(uniq):
+        sliced = K.slice_keys(u, cand)
+        ids, posns = K.decode(sliced)
+        ranks = np.searchsorted(cand, ids)
+        cpos_parts.append(ranks.astype(np.int64) * _STRIDE + posns.astype(np.int64))
+        term_parts.append(np.full(len(ids), i, dtype=np.int64))
+    cpos = np.concatenate(cpos_parts)
+    term = np.concatenate(term_parts)
+    order = np.argsort(cpos, kind="stable")
+    cpos = cpos[order]
+    term = term[order]
+    n = len(cpos)
+
+    # --- minimal cover window ending at each event r:
+    # Lmax(r) = min over terms t of the position of the need_t-th most
+    # recent occurrence of t at or before r ("covered" where every term
+    # has at least need_t occurrences so far)
+    lmax_pos = None
+    covered = np.ones(n, dtype=bool)
+    for t in range(n_terms):
+        occ = cpos[term == t]  # sorted (stable argsort preserved order)
+        c = np.searchsorted(occ, cpos, side="right")
+        covered &= c >= need[t]
+        t_last = occ[np.maximum(c - need[t], 0)]  # clamp; masked by covered
+        lmax_pos = t_last if lmax_pos is None else np.minimum(lmax_pos, t_last)
+    ok = covered & (cpos - lmax_pos <= max_width)
+    if not ok.any():
+        return _EMPTY_I64, _EMPTY_I64
+
+    # --- greedy disjoint selection: one binary search per match
+    ok_r = np.flatnonzero(ok)
+    # event index of each window's left edge (cpos strictly increasing
+    # within a doc because positions are distinct; across docs trivially)
+    ok_l = np.searchsorted(cpos, lmax_pos[ok_r], side="left")
+    match_r: List[int] = []
+    j = 0
+    i = 0
+    n_ok = len(ok_r)
+    while j < n_ok:
+        j = max(j, int(np.searchsorted(ok_l, i, side="left")))
+        if j >= n_ok:
+            break
+        r = int(ok_r[j])
+        match_r.append(r)
+        i = r + 1
+        j += 1
+
+    if not match_r:
+        return _EMPTY_I64, _EMPTY_I64
+    ranks = (cpos[np.asarray(match_r, dtype=np.int64)] // _STRIDE).astype(np.int64)
+    counts = np.bincount(ranks, minlength=len(cand)).astype(np.int64)
+    hit = counts > 0
+    return cand[hit].astype(np.int64), counts[hit]
+
+
+# ---------------------------------------------------------------------------
+# pure-Python reference implementation (kept for property tests)
+# ---------------------------------------------------------------------------
+
+def _count_windows_py(events: List[Tuple[int, int]], need: Dict[int, int],
+                      max_width: int) -> int:
     """Greedy disjoint minimal-window count over sorted (pos, term) events."""
     count = 0
     left = 0
@@ -82,34 +205,16 @@ def _count_windows(events: List[Tuple[int, int]], need: Dict[int, int],
     return count
 
 
-def span_freqs(encoded: List[np.ndarray], slop: int) -> Tuple[np.ndarray, np.ndarray]:
-    """Per-doc sloppy-phrase frequencies over packed posting arrays.
-
-    Returns (doc_ids, counts), doc_ids sorted ascending.
-    """
+def span_freqs_py(encoded: List[np.ndarray], slop: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-doc Python loop implementation (slow; property-test oracle)."""
     if len(encoded) < 2:
         raise ValueError("phrase must have at least two terms")
     if any(len(e) == 0 for e in encoded):
         return _EMPTY_I64, _EMPTY_I64
 
-    # group identical query terms -> multiplicity
-    uniq: List[np.ndarray] = []
-    need: Dict[int, int] = {}
-    seen: Dict[int, int] = {}  # id(array) -> uniq index
-    for e in encoded:
-        key = None
-        for i, u in enumerate(uniq):
-            if u is e or (len(u) == len(e) and np.array_equal(u, e)):
-                key = i
-                break
-        if key is None:
-            uniq.append(e)
-            key = len(uniq) - 1
-            need[key] = 0
-        need[key] += 1
+    uniq, need_list = _group_terms(encoded)
+    need = dict(enumerate(need_list))
 
-    # candidate docs: present in every distinct term's postings with
-    # enough distinct positions for its multiplicity
     cand = None
     per_term_posns: List[Dict[int, np.ndarray]] = []
     for i, u in enumerate(uniq):
@@ -130,7 +235,7 @@ def span_freqs(encoded: List[np.ndarray], slop: int) -> Tuple[np.ndarray, np.nda
             for p in per_term_posns[i].get(int(doc), ()):  # noqa: B905
                 events.append((int(p), i))
         events.sort()
-        c = _count_windows(events, need, max_width)
+        c = _count_windows_py(events, need, max_width)
         if c > 0:
             out_ids.append(int(doc))
             out_counts.append(c)

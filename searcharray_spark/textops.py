@@ -52,25 +52,38 @@ def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def _round6(col: Column) -> Column:
+    """Half-up 6-decimal rounding on IEEE doubles: floor(x*1e6 + 0.5)/1e6.
+
+    Spark's F.round (HALF_UP on BigDecimal) and DuckDB's round (on binary
+    doubles) disagree on half-ulp boundaries; this expression is the same
+    sequence of double ops in both engines, so results are bit-identical
+    (oracle SQL uses the identical formula). Non-negative inputs only.
+    """
+    return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+
 def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Heuristic quality signals: length, lexical diversity, stopword
-    ratio, and a combined [0,1] score. Deterministic, SQL-expressible."""
+    ratio, and a combined [0,1] score. Deterministic, SQL-expressible.
+    The combined score is computed from the UNROUNDED ratios and rounded
+    once (engine-portable floor-based rounding, see _round6)."""
     t = with_tokens(df, text_col)
     n = F.size("tokens")
     stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
     n_stop = F.size(F.filter("tokens", lambda x: F.array_contains(stop_arr, x)))
-    out = t.select(
+    uniq_ratio = F.when(n > 0, F.size(F.array_distinct("tokens")) / n).otherwise(0.0)
+    stop_ratio = F.when(n > 0, n_stop / n).otherwise(0.0)
+    quality = (F.least(F.lit(1.0), n / F.lit(100.0)) * 0.5
+               + uniq_ratio * 0.3
+               + F.least(F.lit(1.0), stop_ratio * 5) * 0.2)
+    return t.select(
         F.col(id_col),
         n.cast("long").alias("n_tokens"),
-        F.round(F.when(n > 0, F.size(F.array_distinct("tokens")) / n)
-                .otherwise(0.0), 6).alias("unique_ratio"),
-        F.round(F.when(n > 0, n_stop / n).otherwise(0.0), 6).alias("stopword_ratio"),
+        _round6(uniq_ratio).alias("unique_ratio"),
+        _round6(stop_ratio).alias("stopword_ratio"),
+        _round6(quality).alias("quality"),
     )
-    return out.withColumn(
-        "quality",
-        F.round(F.least(F.lit(1.0), F.col("n_tokens") / F.lit(100.0)) * 0.5
-                + F.col("unique_ratio") * 0.3
-                + F.least(F.lit(1.0), F.col("stopword_ratio") * 5) * 0.2, 6))
 
 
 def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",

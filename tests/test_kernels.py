@@ -211,3 +211,77 @@ def test_naive_phrase_equivalence_random():
                 if all(toks[p + j] == phrase[j] for j in range(len(phrase)))
             )
             assert got[i] == naive, (phrase, i, got[i], naive)
+
+
+def test_middle_split_no_false_positive():
+    """5-term phrase with the rarest term mid-phrase: the split chains
+    must constrain EVERY adjacent bigram — 'a b X c d e' is not a match
+    for 'a b c d e' (regression: exclusive split skipped bigram b->c)."""
+    filler = " ".join(["a b q d e"] * 30)  # a,b,d,e frequent; c rare
+    docs = ["a b X c d e " + filler, "a b c d e " + filler, filler]
+    got = phrase_dense(docs, ["a", "b", "c", "d", "e"])
+    assert got.tolist() == [0, 1, 0]
+
+
+def test_middle_split_naive_equivalence():
+    """Randomized 5-term phrases with a rare middle term == naive scan."""
+    rng = np.random.default_rng(11)
+    vocab = ["a", "b", "d", "e", "f", "g"]
+    docs = []
+    for _ in range(200):
+        toks = list(rng.choice(vocab, rng.integers(5, 60)))
+        if rng.random() < 0.3:
+            i = rng.integers(0, len(toks))
+            toks[i] = "c"  # rare middle term
+        docs.append(" ".join(toks))
+    docs.append("a b c d e")
+    phrase = ["a", "b", "c", "d", "e"]
+    got = phrase_dense(docs, phrase)
+    for i, doc in enumerate(docs):
+        toks = doc.split()
+        naive = sum(
+            1 for p in range(len(toks) - 4)
+            if all(toks[p + j] == phrase[j] for j in range(5)))
+        assert got[i] == naive, (i, got[i], naive)
+
+
+def test_trim_to_rarest_equivalence():
+    """Rare-first trim must not change phrase results: hot+rare phrase
+    over a corpus where one term is ~100x more frequent."""
+    rng = np.random.default_rng(19)
+    docs = []
+    for i in range(400):
+        toks = list(rng.choice(["the", "x", "y"], rng.integers(5, 40)))
+        if i % 37 == 0:
+            toks.extend(["the", "needle"])
+        docs.append(" ".join(toks))
+    arrs = build_term_arrays(docs)
+    enc = [arrs["the"], arrs["needle"]]
+    assert len(enc[0]) > K.TRIM_FACTOR * len(enc[1])  # trim path exercised
+    got = phrase_dense(docs, ["the", "needle"])
+    for i, doc in enumerate(docs):
+        toks = doc.split()
+        naive = sum(1 for p in range(len(toks) - 1)
+                    if toks[p] == "the" and toks[p + 1] == "needle")
+        assert got[i] == naive, (i, got[i], naive)
+
+
+def test_intersect_sorted():
+    a = np.array([1, 3, 5, 7, 9], dtype=np.uint64)
+    b = np.array([2, 3, 4, 7, 10, 12], dtype=np.uint64)
+    ia, ib = K._intersect_sorted(a, b)
+    assert a[ia].tolist() == [3, 7]
+    assert b[ib].tolist() == [3, 7]
+    ia2, ib2 = K._intersect_sorted(b, a)
+    assert b[ia2].tolist() == [3, 7]
+    assert a[ib2].tolist() == [3, 7]
+    ia3, ib3 = K._intersect_sorted(a, np.array([], dtype=np.uint64))
+    assert len(ia3) == 0 and len(ib3) == 0
+
+
+def test_slice_keys_sorted_probe():
+    packed = K.encode(np.array([1, 1, 5, 9, 30]), np.array([0, 20, 3, 7, 2]))
+    out = K.slice_keys(packed, np.array([1, 9], dtype=np.int64))
+    ids, _ = K.termfreqs(out)
+    assert ids.tolist() == [1, 9]
+    assert K.unique_keys(packed).tolist() == [1, 5, 9, 30]

@@ -109,3 +109,40 @@ def test_slop_multiplicity():
     docs = ["the x the y the", "the x the", "the", "the the the"]
     freqs = slop_dense(docs, ["the", "the", "the"], 2)
     assert (freqs > 0).tolist() == [True, False, False, True]
+
+
+def test_vectorized_matches_python_reference_random():
+    """The vectorized span kernel must equal the per-doc Python greedy
+    implementation on randomized corpora (incl. repeated-term phrases)."""
+    from searcharray_spark.spans import span_freqs_py
+    rng = np.random.default_rng(23)
+    vocab = ["a", "b", "c", "d", "e", "the"]
+    for trial in range(20):
+        docs = [" ".join(rng.choice(vocab, rng.integers(2, 120)))
+                for _ in range(100)]
+        arrs = build_term_arrays(docs)
+        for phrase in (["a", "b"], ["a", "b", "c"], ["the", "the"],
+                       ["the", "a", "the"], ["a", "b", "c", "d", "e"]):
+            encoded = [arrs.get(t, np.zeros(0, dtype=np.uint64)) for t in phrase]
+            for slop in (1, 2, 5):
+                iv, cv = span_freqs(encoded, slop)
+                ip, cp = span_freqs_py(encoded, slop)
+                assert iv.tolist() == ip.tolist(), (trial, phrase, slop)
+                assert cv.tolist() == cp.tolist(), (trial, phrase, slop)
+
+
+def test_vectorized_spans_cross_block_positions():
+    """Positions straddling 18-posn block boundaries."""
+    from searcharray_spark.spans import span_freqs_py
+    for offset in range(0, 60):
+        docs = [" ".join(["z"] * offset) + " foo qq bar",
+                " ".join(["z"] * offset) + " bar qq qq foo",
+                "nothing"]
+        arrs = build_term_arrays(docs)
+        encoded = [arrs.get(t, np.zeros(0, dtype=np.uint64))
+                   for t in ["foo", "bar"]]
+        for slop in (1, 2, 3):
+            iv, cv = span_freqs(encoded, slop)
+            ip, cp = span_freqs_py(encoded, slop)
+            assert iv.tolist() == ip.tolist(), (offset, slop)
+            assert cv.tolist() == cp.tolist(), (offset, slop)

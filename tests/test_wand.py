@@ -40,3 +40,35 @@ def test_pruning_actually_prunes(skewed_index):
     out.collect()
     assert out._wand_blocks_scanned < out._wand_blocks_total, (
         out._wand_blocks_scanned, out._wand_blocks_total)
+
+
+@pytest.mark.parametrize("terms,k", [(["target", "a"], 5),
+                                     (["target", "filler", "b"], 10),
+                                     (["a", "b", "c"], 7),
+                                     (["missing", "target"], 5)])
+def test_pruned_topk_multiterm_rank_identical(skewed_index, terms, k):
+    """Multi-term OR top-k (MaxScore-style block bounds) must be
+    rank-identical to exhaustive search_or scoring."""
+    from pyspark.sql import functions as F
+    exact = [(r["doc_id"], round(float(r["score"]), 4))
+             for r in skewed_index.search_or(terms, mm=1)
+             .orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()]
+    pruned = [(r["doc_id"], round(float(r["score"]), 4))
+              for r in skewed_index.top_k_pruned(terms, k=k).collect()]
+    assert pruned == exact, (terms, k)
+
+
+def test_pruned_topk_phrase_rank_identical(skewed_index):
+    """Phrase-token bound: top_k_pruned on a phrase matches top_k."""
+    exact = [(r["doc_id"], r["score"])
+             for r in skewed_index.top_k(["target", "filler"], k=5).collect()]
+    pruned = [(r["doc_id"], r["score"])
+              for r in skewed_index.top_k_pruned([["target", "filler"]], k=5).collect()]
+    assert pruned == exact
+
+
+def test_multiterm_pruning_actually_prunes(skewed_index):
+    out = skewed_index.top_k_pruned(["target", "a"], k=5)
+    out.collect()
+    assert out._wand_blocks_scanned < out._wand_blocks_total, (
+        out._wand_blocks_scanned, out._wand_blocks_total)
