@@ -191,15 +191,22 @@ def q_slop_matchset(spark, sf_dir):
     return idx.termfreqs(PHRASE2, slop=1).select("doc_id").distinct()
 
 
-def q_edismax_top10(spark, sf_dir):
-    """Solr edismax over the text field (OR, mm=1), top 10 by score.
+EDISMAX_TIE = 0.25
 
-    float32 engine scoring -> rows-only check (the scoring formula itself
-    is oracle-checked in double precision by bm25_top10)."""
+
+def q_edismax_top10(spark, sf_dir):
+    """Solr edismax, term-centric: two qf fields over the same index with
+    boosts 1 and 2, tie=0.25, mm=2 — exercises dismax-across-fields, the
+    tie breaker, and the mm filter. ``exact=True`` scores in double
+    precision (JVM SQL over exact tfs) so the DuckDB oracle matches
+    value-for-value; the float32 reference-identical path is covered by
+    pytest goldens."""
     from searcharray_spark.solr import edismax
     idx = _index_for(spark, sf_dir)
-    out = edismax({"text": idx}, q=" ".join(OR_TERMS), qf=["text"], mm="1")
-    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+    out = edismax({"text": idx, "text2": idx}, q=" ".join(OR_TERMS),
+                  qf=["text", "text2^2"], mm="2", tie=EDISMAX_TIE, exact=True)
+    return out.select("doc_id", F.round("score", 6).alias("score"), F.col("score").alias("_s")) \
+        .orderBy(F.desc("_s"), F.asc("doc_id")).limit(10).drop("_s")
 
 
 def q_positions(spark, sf_dir):
@@ -264,15 +271,22 @@ def q_ann_cosine_top10(spark, sf_dir):
                        k=10, exclude_id=0)
 
 
+LSH_PLANES = 4
+LSH_PROBES = 2  # query bucket + the one lowest-margin bit flip
+
+
 def q_ann_lsh_top10(spark, sf_dir):
     from searcharray_spark.ann import lsh_topk
     return lsh_topk(_embs(spark, sf_dir), _query_vec(spark, sf_dir),
-                    k=10, n_planes=4)
+                    k=10, n_planes=LSH_PLANES, n_probes=LSH_PROBES)
 
 
 def q_embedding_neardup(spark, sf_dir):
+    """LSH-bucketed near-dup pairs — the scale path (per-bucket join, no
+    cross join); the oracle replicates the bucket condition exactly."""
     from searcharray_spark.ann import cosine_neardup_pairs
-    return cosine_neardup_pairs(_embs(spark, sf_dir), threshold=0.3, n_planes=0)
+    return cosine_neardup_pairs(_embs(spark, sf_dir), threshold=0.3,
+                                n_planes=LSH_PLANES)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -302,6 +316,143 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_top10": q_ann_lsh_top10,
         "embedding_neardup": q_embedding_neardup,
     }
+
+
+# --- oracle SQL builders for hash/LSH-based ops --------------------------
+# hash60 (searcharray_spark.textops.hash60) rendered in DuckDB SQL
+def _h60(x: str) -> str:
+    return f"CAST(('0x' || substring(md5({x}),1,15)) AS BIGINT)"
+
+
+# word-3-gram shingles in DuckDB (mirrors textops.shingles_col(n=3))
+_SHINGLE3 = """CASE WHEN len(toks) >= 3 THEN
+      list_transform(generate_series(1, len(toks) - 2),
+                     i -> array_to_string(toks[i:i+2], ' '))
+      ELSE [array_to_string(toks, ' ')] END"""
+
+
+def _simhash_oracle() -> str:
+    from searcharray_spark.textops import SIMHASH_BITS
+    votes = ",\n                   ".join(
+        f"sum((h >> {i}) & 1) AS v{i}" for i in range(SIMHASH_BITS))
+    bits = " + ".join(f"(CASE WHEN 2 * v{i} > n THEN {1 << i} ELSE 0 END)"
+                      for i in range(SIMHASH_BITS))
+    return f"""
+        WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+        h AS (SELECT doc_id, {_h60('term')} AS h FROM tok),
+        v AS (SELECT doc_id, count(*) AS n,
+                   {votes}
+              FROM h GROUP BY doc_id)
+        SELECT d2.doc_id, coalesce(CAST(({bits}) AS BIGINT), 0) AS simhash
+        FROM (SELECT doc_id FROM documents) d2 LEFT JOIN v USING (doc_id)"""
+
+
+def _minhash_oracle(threshold: float) -> str:
+    from searcharray_spark.textops import _minhash_perm_specs
+    a, b, p = _minhash_perm_specs(64)
+    mins = ",\n                     ".join(
+        f"min((hm * {int(a[i])} + {int(b[i])}) % {int(p)}) AS m{i}"
+        for i in range(64))
+    eq = " + ".join(f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)"
+                    for i in range(64))
+    bands = " OR ".join(
+        "(" + " AND ".join(f"a.m{j} = b.m{j}" for j in range(bd * 4, bd * 4 + 4)) + ")"
+        for bd in range(16))
+    return f"""
+        WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        sh AS (SELECT doc_id AS id, unnest(list_distinct({_SHINGLE3})) AS shingle
+               FROM d),
+        h AS (SELECT id, {_h60('shingle')} % {int(p)} AS hm FROM sh),
+        sig AS (SELECT id, {mins}
+                FROM h GROUP BY id),
+        pairs AS (SELECT a.id AS id_a, b.id AS id_b, ({eq}) AS n_eq,
+                         ({bands}) AS collide
+                  FROM sig a JOIN sig b ON a.id < b.id)
+        SELECT id_a, id_b, round(n_eq / 64.0, 6) AS est_jaccard
+        FROM pairs WHERE collide AND n_eq / 64.0 >= {threshold}"""
+
+
+def _plane_sql_arrays():
+    from searcharray_spark.ann import _hyperplanes
+    planes = _hyperplanes(64, LSH_PLANES, 13)
+    return ["[" + ", ".join(repr(float(x)) for x in planes[i]) + "]"
+            for i in range(LSH_PLANES)]
+
+
+def _ann_lsh_oracle() -> str:
+    """Single-bit multi-probe (LSH_PROBES=2): candidates match the query
+    bucket exactly OR differ in exactly one sign bit — the one whose
+    |dot| margin is smallest (what lsh_probe_buckets flips)."""
+    ps = _plane_sql_arrays()
+    s_cols = ",\n               ".join(
+        f"(list_dot_product(CAST(embedding AS DOUBLE[]), {ps[i]}) >= 0) AS s{i}"
+        for i in range(LSH_PLANES))
+    qd = ",\n              ".join(
+        f"list_dot_product(CAST(embedding AS DOUBLE[]), {ps[i]}) AS d{i}"
+        for i in range(LSH_PLANES))
+    mism = " + ".join(f"(CASE WHEN b.s{i} <> (q.d{i} >= 0) THEN 1 ELSE 0 END)"
+                      for i in range(LSH_PLANES))
+    mism_margin = "CASE " + " ".join(
+        f"WHEN b.s{i} <> (q.d{i} >= 0) THEN abs(q.d{i})"
+        for i in range(LSH_PLANES)) + " END"
+    min_margin = "least(" + ", ".join(f"abs(q.d{i})" for i in range(LSH_PLANES)) + ")"
+    return f"""
+        WITH b AS (SELECT vec_id, embedding,
+               {s_cols}
+               FROM embeddings),
+        q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv,
+              {qd}
+              FROM embeddings WHERE vec_id = 0)
+        SELECT b.vec_id,
+               round(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]), q.qv), 6) AS cosine
+        FROM b, q
+        WHERE ({mism}) = 0 OR (({mism}) = 1 AND {mism_margin} = {min_margin})
+        ORDER BY list_cosine_similarity(CAST(b.embedding AS DOUBLE[]), q.qv) DESC,
+                 b.vec_id ASC
+        LIMIT 10"""
+
+
+def _embedding_neardup_oracle(threshold: float) -> str:
+    ps = _plane_sql_arrays()
+    s_cols = ",\n               ".join(
+        f"(list_dot_product(CAST(embedding AS DOUBLE[]), {ps[i]}) >= 0) AS s{i}"
+        for i in range(LSH_PLANES))
+    same_bucket = " AND ".join(f"a.s{i} = b.s{i}" for i in range(LSH_PLANES))
+    cos = ("list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+           "CAST(b.embedding AS DOUBLE[]))")
+    return f"""
+        WITH bk AS (SELECT vec_id, embedding,
+               {s_cols}
+               FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 6) AS cosine
+        FROM bk a JOIN bk b ON a.vec_id < b.vec_id AND {same_bucket}
+        WHERE round({cos}, 6) >= {threshold}"""
+
+
+def _edismax_oracle() -> str:
+    or_in = ", ".join(f"'{t}'" for t in OR_TERMS)
+    # term_score mirrors the Spark op tree: boosts 1.0 / 2.0 over the same
+    # per-term BM25 s, dismax + tie, mm=2
+    ts = ("greatest(sc * 1.0, sc * 2.0) + ((sc * 1.0 + sc * 2.0) "
+          f"- greatest(sc * 1.0, sc * 2.0)) * {EDISMAX_TIE}")
+    return _TOK_CTE + f""",
+        dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                         (SELECT avg(len({_TOKS})) FROM documents) AS avgdl),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+               WHERE term IN ({or_in}) GROUP BY doc_id, term),
+        df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+               WHERE term IN ({or_in}) GROUP BY term),
+        s AS (SELECT tf.doc_id,
+                     ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                     * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) AS sc
+              FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+              CROSS JOIN stats),
+        t AS (SELECT doc_id, {ts} AS ts FROM s)
+        SELECT doc_id, round(sum(ts), 6) AS score
+        FROM t GROUP BY doc_id HAVING count(*) >= 2
+        ORDER BY sum(ts) DESC, doc_id ASC LIMIT 10"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -437,13 +588,15 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings, q WHERE vec_id <> 0
             ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv) DESC, vec_id ASC
             LIMIT 10""",
-        "embedding_neardup": """
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                                CAST(b.embedding AS DOUBLE[])), 6) AS cosine
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                         CAST(b.embedding AS DOUBLE[])) >= 0.3""",
-        # minhash_neardup / simhash / fingerprint / ann_lsh_top10: hash-scheme
-        # specific (xxhash64 / FNV / hyperplane seeds) — rows-only checks.
+        "embedding_neardup": _embedding_neardup_oracle(0.3),
+        "fingerprint": f"""
+            WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+            SELECT doc_id,
+                   {_h60("array_to_string(list_sort(list_distinct(toks)), ' ')")}
+                   AS fingerprint
+            FROM d""",
+        "simhash": _simhash_oracle(),
+        "minhash_neardup": _minhash_oracle(0.2),
+        "ann_lsh_top10": _ann_lsh_oracle(),
+        "edismax_top10": _edismax_oracle(),
     }

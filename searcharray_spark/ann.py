@@ -68,17 +68,36 @@ def lsh_buckets(df: DataFrame, dim: int, n_planes: int = 16,
     return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
 
 
-def lsh_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
-             n_planes: int = 8, id_col: str = "vec_id",
-             vec_col: str = "embedding", seed: int = 13) -> DataFrame:
-    """Approximate top-k: restrict to the query's LSH bucket, then exact
-    cosine on the candidates (recall < 1.0; the scale path — candidates
-    are a tiny pruned subset instead of the full table)."""
+def lsh_probe_buckets(query_vec: Sequence[float], n_planes: int,
+                      n_probes: int, seed: int = 13) -> List[str]:
+    """Multi-probe bucket list for a query: the query's own bucket plus
+    the buckets reached by flipping the lowest-|margin| sign bits (the
+    hyperplanes the query is closest to — where near neighbors most
+    likely fell on the other side). Capped at n_planes + 1 buckets.
+    """
     q = np.asarray(list(query_vec), dtype=np.float64)
     planes = _hyperplanes(len(q), n_planes, seed)
-    q_bucket = "".join("1" if d >= 0 else "0" for d in planes @ q)
-    bucketed = lsh_buckets(df, len(q), n_planes, id_col, vec_col, seed)
-    cands = bucketed.filter(F.col("bucket") == q_bucket).drop("bucket")
+    d = planes @ q
+    base = d >= 0
+    probes = ["".join("1" if b else "0" for b in base)]
+    for i in np.argsort(np.abs(d))[:max(0, min(n_probes, n_planes + 1) - 1)]:
+        flipped = base.copy()
+        flipped[i] = ~flipped[i]
+        probes.append("".join("1" if b else "0" for b in flipped))
+    return probes
+
+
+def lsh_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
+             n_planes: int = 8, n_probes: int = 3, id_col: str = "vec_id",
+             vec_col: str = "embedding", seed: int = 13) -> DataFrame:
+    """Approximate top-k: restrict to the query's LSH bucket plus
+    ``n_probes - 1`` neighboring buckets (multi-probe: flip the sign bits
+    with the smallest |dot| margin), then exact cosine on the candidates
+    only. Recall grows with n_probes at linear candidate cost — the scale
+    path versus a full-table scan."""
+    probes = lsh_probe_buckets(query_vec, n_planes, n_probes, seed)
+    bucketed = lsh_buckets(df, len(list(query_vec)), n_planes, id_col, vec_col, seed)
+    cands = bucketed.filter(F.col("bucket").isin(probes)).drop("bucket")
     return cosine_topk(cands, query_vec, k, id_col, vec_col)
 
 

@@ -17,6 +17,11 @@ from typing import Callable, Protocol
 import numpy as np
 
 
+# default BM25 parameters (Lucene defaults; reference similarity.py:24)
+K1 = 1.2
+B = 0.75
+
+
 class Similarity(Protocol):
     def __call__(self, term_freqs: np.ndarray, doc_freqs: np.ndarray,
                  doc_lens: np.ndarray, avg_doc_lens: float,

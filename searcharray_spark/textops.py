@@ -2,19 +2,15 @@
 
 Beyond the reference's search operators: the deduplication / quality /
 language-ID / fingerprinting ops a web-scale training-data pipeline needs.
-All are expressed with JVM-side built-in functions (whole-stage codegen)
-except simhash, which is an Arrow-batched pandas UDF on numpy.
+All are expressed with JVM-side built-in functions (whole-stage codegen);
+no Python UDFs anywhere in these paths.
 
 Every op takes/returns DataFrames; nothing collects to the driver.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
-from pyspark.sql.types import LongType
 
 # English stopword set for the language-ID heuristic and quality ratios.
 EN_STOPWORDS = [
@@ -27,6 +23,22 @@ def tokens_col(text_col: str = "text") -> Column:
     """Whitespace tokens, byte-identical to Python ``str.split()``:
     split on runs of whitespace, drop empties."""
     return F.filter(F.split(F.col(text_col), r"\s+"), lambda x: F.length(x) > 0)
+
+
+def hash60(col: Column) -> Column:
+    """Deterministic 60-bit non-negative int64 hash of a string column.
+
+    md5 hex prefix (15 nibbles) parsed as an integer — JVM-side,
+    whole-stage codegen, and expressible verbatim in ANSI SQL/DuckDB
+    (``CAST('0x' || substring(md5(x),1,15) AS BIGINT)``), so every op
+    built on it gets a value-level oracle. xxhash64 would be ~3x faster
+    but is engine-specific; at scale the shuffle dominates either way.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+# the DuckDB-side rendering of hash60 (oracle SQL helpers)
+HASH60_SQL = "CAST(('0x' || substring(md5({x}),1,15)) AS BIGINT)"
 
 
 def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -129,18 +141,30 @@ def shingles_col(n: int = 3) -> Column:
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
+                        threshold: float = 0.5,
+                        max_shingle_df: int = 10000) -> DataFrame:
     """Near-duplicate pairs by word-n-gram Jaccard similarity.
 
     Distributed shape: explode distinct shingles -> self-join on shingle
     (co-partitioned by the shuffle on the join key) -> per-pair
     intersection counts -> join per-doc shingle counts -> Jaccard.
     Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    ``max_shingle_df`` drops shingles appearing in more than that many
+    docs before the self-join: one hot shingle otherwise produces O(df^2)
+    pairs (a quadratic blow-up at web scale). Dropping hot shingles only
+    lowers the estimated Jaccard of pairs sharing them — standard
+    near-dup practice; true near-duplicates share plenty of rare
+    shingles. (The per-doc denominator counts ALL shingles, so dropped
+    ones never inflate similarity.)
     """
     sh = with_tokens(df, text_col).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingles_col(n))).alias("shingle"))
     counts = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    hot = sh.groupBy("shingle").agg(F.count("*").alias("sh_df")) \
+        .filter(F.col("sh_df") > max_shingle_df).select("shingle")
+    sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     a = sh.alias("a")
     b = sh.alias("b")
     inter = a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
@@ -180,7 +204,7 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     sh = with_tokens(df, text_col).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingles_col(n))).alias("shingle"))
-    sh = sh.withColumn("h", F.xxhash64("shingle"))
+    sh = sh.withColumn("h", hash60(F.col("shingle")))
     # per (id, perm i): min((a_i * h + b_i) mod p) — computed columnwise
     h_mod = F.pmod(F.col("h"), F.lit(int(p)))
     mins = [
@@ -225,43 +249,39 @@ def minhash_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
         .select("id_a", "id_b", "est_jaccard")
 
 
+SIMHASH_BITS = 60  # hash60 width: every bit vote is JVM- and SQL-portable
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per doc (token-hash bit voting) as an Arrow-batched
-    pandas UDF — numpy bit matrix, no per-row Python."""
+    """60-bit SimHash per doc (token-hash bit voting), fully JVM-side.
 
-    @F.pandas_udf(LongType())
-    def _simhash(texts: pd.Series) -> pd.Series:
-        out = np.zeros(len(texts), dtype=np.int64)
-        bit_idx = np.arange(64, dtype=np.uint64)
-        for i, text in enumerate(texts):
-            toks = text.split() if isinstance(text, str) else []
-            if not toks:
-                continue
-            hashes = np.array([hash_token(t) for t in toks], dtype=np.uint64)
-            bits = ((hashes[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
-            votes = bits.sum(axis=0) * 2 - len(toks)
-            sig = np.uint64(0)
-            for bpos in np.flatnonzero(votes > 0):
-                sig |= np.uint64(1) << np.uint64(bpos)
-            out[i] = np.int64(sig.astype(np.int64))
-        return pd.Series(out)
-
-    def hash_token(tok: str) -> int:
-        # FNV-1a 64-bit: deterministic across processes (unlike hash())
-        h = 0xCBF29CE484222325
-        for ch in tok.encode("utf-8"):
-            h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-        return h
-
-    return df.select(F.col(id_col), _simhash(F.col(text_col)).alias("simhash"))
+    Shape: explode tokens -> hash60 per token -> one groupBy(doc) with 60
+    bit-vote sums (whole-stage codegen; map-side partial aggregation) ->
+    signature from the majority bits. No Python anywhere in the path, and
+    value-verifiable by the DuckDB oracle (same hash, same votes). Docs
+    with no tokens get signature 0.
+    """
+    toks = with_tokens(df, text_col).select(
+        F.col(id_col), F.explode("tokens").alias("tok"))
+    toks = toks.withColumn("h", hash60(F.col("tok")))
+    votes = [F.sum(F.shiftright(F.col("h"), i) % 2).alias(f"v{i}")
+             for i in range(SIMHASH_BITS)]
+    agg = toks.groupBy(id_col).agg(F.count("*").alias("n"), *votes)
+    sig = None
+    for i in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"v{i}") * 2 > F.col("n"), F.lit(1 << i)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    agg = agg.select(F.col(id_col), sig.cast("long").alias("simhash"))
+    return df.select(id_col).join(agg, id_col, "left").select(
+        F.col(id_col), F.coalesce(F.col("simhash"), F.lit(0)).cast("long").alias("simhash"))
 
 
 def doc_fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Order-insensitive content fingerprint: xxhash64 over the sorted
-    distinct token set (cheap near-exact dedup key)."""
+    """Order-insensitive content fingerprint: hash60 over the sorted
+    distinct token set (cheap near-exact dedup key, oracle-verifiable)."""
     t = with_tokens(df, text_col)
     return t.select(
         F.col(id_col),
-        F.xxhash64(F.concat_ws(" ", F.array_sort(F.array_distinct("tokens"))))
+        hash60(F.concat_ws(" ", F.array_sort(F.array_distinct("tokens"))))
         .alias("fingerprint"),
     )

@@ -179,3 +179,34 @@ def test_edismax_different_analyzers(spark, tmp_path_factory, two_fields):
         b_scores[3],
     ]
     assert np.allclose(got, expected), (got, expected)
+
+
+def test_edismax_explain_term_centric(two_fields):
+    df, explain = edismax(two_fields, q="foo bar", qf=["title^10", "body"],
+                          return_explain=True)
+    assert explain == "((title:foo^10.0 | body:foo^1) (title:bar^10.0 | body:bar^1))~1"
+    df.collect()
+
+
+def test_edismax_explain_pf_phases(two_fields):
+    _, explain = edismax(two_fields, q="foo bar bar", qf=["title"],
+                         pf=["title^2"], pf2=["title"], return_explain=True)
+    assert explain.startswith("((title:foo^1) (title:bar^1) (title:bar^1))~1")
+    assert ' (title:"foo bar bar")^2.0' in explain
+    assert ' (title:"foo bar")^1 (title:"bar bar")^1' in explain
+
+
+def test_edismax_ps_slop_widens_pf_match(two_fields):
+    # "foo baz" is not adjacent in doc 0 ("foo bar bar baz") but matches
+    # with slop >= 2; ps must reach the pf phrase scorer
+    tight = dense(edismax(two_fields, q="foo baz", qf=["title"], pf=["title"]))
+    sloppy = dense(edismax(two_fields, q="foo baz", qf=["title"], pf=["title"], ps=2))
+    assert sloppy[0] > tight[0]
+    assert np.all(sloppy[1:] == tight[1:])
+
+
+def test_edismax_exact_matches_float32_ranking(two_fields):
+    f32 = dense(edismax(two_fields, q="foo bar", qf=["title^2", "body"], tie=0.3))
+    ex = dense(edismax(two_fields, q="foo bar", qf=["title^2", "body"], tie=0.3,
+                       exact=True))
+    assert np.allclose(f32, ex, rtol=1e-5), (f32, ex)

@@ -114,3 +114,55 @@ def test_multimodal_stubs(spark):
     assert sorted(map(str, feats)) == sorted(map(str, feats2))
     frames = sample_frames(media, every_n=1).collect()
     assert len(frames) >= 5
+
+
+QUERY_CENTER_SEED = 5
+
+
+@pytest.fixture(scope="module")
+def clustered_vectors(spark):
+    """380 background vectors + 20 planted near-neighbors of the query
+    center — the regime LSH is built for (true neighbors have high
+    cosine; random gaussians are near-orthogonal and unfindable)."""
+    import numpy as np
+    rng = np.random.default_rng(31)
+    center = np.random.default_rng(QUERY_CENTER_SEED).standard_normal(16)
+    center /= np.linalg.norm(center)
+    rows = []
+    for i in range(380):
+        rows.append((i, [float(x) for x in rng.standard_normal(16)]))
+    for i in range(20):
+        v = center + 0.15 * rng.standard_normal(16)
+        rows.append((380 + i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_lsh_multiprobe_recall(spark, clustered_vectors):
+    """Multi-probe must lift recall vs single-bucket probing, and reach a
+    usable recall floor vs the exact baseline."""
+    import numpy as np
+    center = np.random.default_rng(QUERY_CENTER_SEED).standard_normal(16)
+    q = [float(x) for x in center / np.linalg.norm(center)]
+    exact = {r["vec_id"] for r in cosine_topk(clustered_vectors, q, k=10).collect()}
+    rec = {}
+    for n_probes in (1, 5):
+        got = {r["vec_id"] for r in
+               lsh_topk(clustered_vectors, q, k=10, n_planes=6,
+                        n_probes=n_probes).collect()}
+        rec[n_probes] = len(got & exact) / 10
+    assert rec[5] >= rec[1]
+    assert rec[5] >= 0.7, rec
+
+
+def test_shingle_df_cap_drops_hot_shingles(spark):
+    """A shingle present in every doc is excluded from the pair join."""
+    docs = spark.createDataFrame(
+        [(i, "the common shingle tail%d word%d" % (i, i)) for i in range(8)],
+        "doc_id long, text string")
+    pairs = textops.ngram_jaccard_pairs(docs, n=3, threshold=0.01,
+                                        max_shingle_df=4).collect()
+    # only "the common shingle" is shared and it exceeds the cap -> no pairs
+    assert pairs == []
+    pairs2 = textops.ngram_jaccard_pairs(docs, n=3, threshold=0.01,
+                                         max_shingle_df=100).collect()
+    assert len(pairs2) == 8 * 7 / 2
