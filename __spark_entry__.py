@@ -216,6 +216,56 @@ def q_positions(spark, sf_dir):
         .select("doc_id", F.col("p").cast("long").alias("posn"))
 
 
+def q_bm25_filtered_top10(spark, sf_dir):
+    """Filtered-corpus scoring (reference P2 row-subset views): BM25
+    OR-query top-10 over docs with lang='en' only. The doc filter is a
+    packed-id semi-join INSIDE the scoring kernel (plus whole-block
+    pruning); idf/avgdl/N stay corpus-global. Double-precision
+    re-expression as in bm25_top10 so the oracle value-matches."""
+    idx = _index_for(spark, sf_dir)
+    cand = _docs(spark, sf_dir).filter(F.col("lang") == "en").select("doc_id")
+    n = idx.num_docs
+    avgdl_df = idx.docstats.agg(F.avg("doc_len").alias("a"))
+    hits = idx.score_many(OR_TERMS, candidates=cand)
+    terms_df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(OR_TERMS)], "token_idx int, term string")
+    stats = idx.term_stats.filter(F.col("term").isin(OR_TERMS)).select("term", "df")
+    hits = hits.join(F.broadcast(terms_df), "token_idx") \
+        .join(F.broadcast(stats), "term") \
+        .join(idx.docstats.select("doc_id", "doc_len"), "doc_id") \
+        .crossJoin(F.broadcast(avgdl_df))
+    idf = F.log(F.lit(1.0) + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tfd = F.col("tf").cast("double")
+    dl = F.col("doc_len").cast("double")
+    score = idf * tfd / (tfd + F.lit(K1) * (F.lit(1 - B) + F.lit(B) * dl / F.col("a")))
+    return hits.groupBy("doc_id").agg(F.sum(score).alias("s")) \
+        .select("doc_id", F.round("s", 6).alias("score")) \
+        .orderBy(F.desc("s"), F.asc("doc_id")).limit(10)
+
+
+def q_term_freqs_pretokenized(spark, sf_dir):
+    """Index built from a pre-tokenized array<string> column (reference
+    S3, build_index_from_terms_list) — must match the text-built index
+    value-for-value (same oracle as term_freqs)."""
+    from searcharray_spark import SearchIndex, build_index
+
+    _ensure_pkg_on_executors(spark)
+    key = os.path.abspath(sf_dir)
+    cache_root = os.environ.get("SPARK_GRAFT_INDEX_CACHE", "/tmp/searcharray_spark_idx")
+    idx_path = os.path.join(cache_root, key.strip("/").replace("/", "_") + "_pretok_v1")
+    if os.path.exists(os.path.join(idx_path, "meta.json")):
+        idx = SearchIndex(spark, idx_path)
+    else:
+        docs = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.filter(F.split(F.col("text"), r"\s+"),
+                     lambda x: F.length(x) > 0).alias("tokens"))
+        idx = build_index(spark, docs, idx_path, tokens_col="tokens",
+                          doc_id_col="doc_id", docs_per_block=1 << 14)
+    return idx.termfreqs(TERM).select(
+        "doc_id", F.col("tf").cast("long").alias("tf"))
+
+
 # --- text-pipeline operators -------------------------------------------
 
 def q_token_stats(spark, sf_dir):
@@ -297,6 +347,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "top_terms": q_top_terms,
         "bm25_top10": q_bm25_top10,
+        "bm25_filtered_top10": q_bm25_filtered_top10,
+        "term_freqs_pretokenized": q_term_freqs_pretokenized,
         "phrase_freqs_2": q_phrase_freqs_2,
         "phrase_freqs_3": q_phrase_freqs_3,
         "and_search": q_and_search,
@@ -494,6 +546,29 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY sum(ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
                      * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl))) DESC,
                      tf.doc_id ASC LIMIT 10""",
+        # same stats CTEs as bm25_top10; only the scored doc set is
+        # restricted (global idf/avgdl/N — standard filter semantics)
+        "bm25_filtered_top10": _TOK_CTE + f""",
+            dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+            stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                             (SELECT avg(len({_TOKS})) FROM documents) AS avgdl),
+            tf AS (SELECT t.doc_id, t.term, count(*) AS tf FROM tok t
+                   JOIN documents dd ON t.doc_id = dd.doc_id AND dd.lang = 'en'
+                   WHERE t.term IN ({or_in}) GROUP BY t.doc_id, t.term),
+            df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+                   WHERE term IN ({or_in}) GROUP BY term)
+            SELECT tf.doc_id,
+                   round(sum(ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                         * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl))), 6) AS score
+            FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN stats
+            GROUP BY tf.doc_id
+            ORDER BY sum(ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                     * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl))) DESC,
+                     tf.doc_id ASC LIMIT 10""",
+        "term_freqs_pretokenized": _TOK_CTE + f"""
+            SELECT doc_id, count(*)::BIGINT AS tf FROM tok
+            WHERE term = '{TERM}' GROUP BY doc_id""",
         "phrase_freqs_2": _TOK_CTE + f"""
             SELECT a.doc_id, count(*)::BIGINT AS pf
             FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.posn = a.posn + 1

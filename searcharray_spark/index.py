@@ -47,6 +47,33 @@ POSITIONS_SCHEMA = StructType([
 ])
 
 
+def patch_doclens(rows) -> tuple:
+    """Merge per-block packed doclens rows by segment priority: later
+    segments override a doc's length and may add docs. ``rows`` is an
+    iterable of (seg, doc_ids_bytes, doc_lens_bytes); returns sorted
+    (ids int64 array, lens float32 array)."""
+    ids = None
+    lens = None
+    for _, ir, lr in sorted(rows, key=lambda r: r[0]):
+        i = np.frombuffer(ir, dtype="<i8")
+        ln = np.frombuffer(lr, dtype="<f4")
+        if ids is None:
+            ids, lens = i, ln
+            continue
+        all_ids = np.union1d(ids, i)
+        new_lens = np.empty(len(all_ids), dtype=np.float32)
+        pos = np.searchsorted(ids, all_ids)
+        pos_c = np.minimum(pos, len(ids) - 1)
+        m_old = ids[pos_c] == all_ids
+        new_lens[m_old] = lens[pos_c[m_old]]
+        pos = np.searchsorted(i, all_ids)
+        pos_c = np.minimum(pos, len(i) - 1)
+        m_new = i[pos_c] == all_ids
+        new_lens[m_new] = ln[pos_c[m_new]]  # later segment wins
+        ids, lens = all_ids, new_lens
+    return ids, lens
+
+
 def _normalize_token(token: TokenArg) -> List[str]:
     if isinstance(token, str):
         return [token]
@@ -83,51 +110,175 @@ class SearchIndex:
         """Persist the postings + doclens tables in executor memory —
         amortizes the scan across repeated queries (the cluster-scale
         analogue: spark.catalog.cacheTable on the index tables)."""
-        self._postings_df = self.spark.read.parquet(
-            os.path.join(self.path, "postings")).cache()
-        self._doclens_df = self.spark.read.parquet(
-            os.path.join(self.path, "doclens")).cache()
+        posts, dls = self.postings, self.doclens
+        self._postings_df = posts.cache()
+        self._doclens_df = dls.cache()
         self._postings_df.count()
         self._doclens_df.count()
         return self
+
+    # --- update segments / tombstones (reference P8 delete/replace,
+    #     postings.py:360-425) ---------------------------------------------
+    # Epoch model: every delete_docs/update_docs call takes the next
+    # integer epoch E. Deletes write tombstones (doc_id, seg=E); updates
+    # additionally write a mini index segment under updates/seg=E with
+    # the SAME doc ids. A posting row (tagged with its segment's seg;
+    # base rows are seg 0) contributes a doc iff no tombstone for that
+    # doc has seg > row.seg — so an update kills older content and its
+    # own rows survive, and re-adding a deleted doc resurrects it.
+    # Corpus stats (df/avgdl/N) stay as-built until compact()
+    # (Lucene-style deleted-docs semantics).
+
+    def _update_segs(self) -> List[int]:
+        root = os.path.join(self.path, "updates")
+        if not os.path.isdir(root):
+            return []
+        return sorted(int(d.split("=", 1)[1]) for d in os.listdir(root)
+                      if d.startswith("seg="))
+
+    def _next_epoch(self) -> int:
+        tomb = 0
+        tpath = os.path.join(self.path, "tombstones")
+        if os.path.isdir(tpath):
+            rows = self.spark.read.parquet(tpath).agg(F.max("seg")).collect()
+            tomb = int(rows[0][0] or 0)
+        segs = self._update_segs()
+        return max([tomb] + segs + [0]) + 1
+
+    def _tombstones(self) -> dict:
+        """{block_id: (sorted local doc_ids, parallel seg array)} — small
+        driver-side dict (deletes are bounded between compactions)."""
+        if getattr(self, "_tomb_cache", None) is not None:
+            return self._tomb_cache
+        tpath = os.path.join(self.path, "tombstones")
+        out: dict = {}
+        if os.path.isdir(tpath):
+            pdf = self.spark.read.parquet(tpath).toPandas()
+            if len(pdf):
+                ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+                segs = pdf["seg"].to_numpy(dtype=np.int64)
+                blocks = ids // self.docs_per_block
+                local = ids % self.docs_per_block
+                order = np.lexsort((segs, local, blocks))
+                blocks, local, segs = blocks[order], local[order], segs[order]
+                # keep the max seg per doc (later ops win)
+                for b in np.unique(blocks):
+                    m = blocks == b
+                    lid, sg = local[m], segs[m]
+                    starts = np.concatenate(([0], np.flatnonzero(np.diff(lid)) + 1,
+                                             [len(lid)]))
+                    u = lid[starts[:-1]]
+                    mx = np.maximum.reduceat(sg, starts[:-1])
+                    out[int(b)] = (u, mx)
+        self._tomb_cache = out
+        return out
+
+    def delete_docs(self, doc_ids) -> None:
+        """Tombstone docs: they stop matching every query immediately.
+        Corpus stats remain as-built until compact() (documented
+        Lucene-like divergence)."""
+        epoch = self._next_epoch()
+        df = self.spark.createDataFrame(
+            [(int(d), epoch) for d in doc_ids], "doc_id long, seg long")
+        df.coalesce(1).write.mode("append").parquet(
+            os.path.join(self.path, "tombstones"))
+        self._invalidate_caches()
+
+    def update_docs(self, docs: DataFrame, text_col: str = "text") -> None:
+        """Replace docs in place (same doc ids): tombstone the old
+        content and write a new index segment holding the new content.
+        ``docs`` must carry (doc_id, text)."""
+        from .indexing import build_index
+
+        epoch = self._next_epoch()
+        ids = [int(r["doc_id"]) for r in docs.select("doc_id").collect()]
+        if not ids:
+            return
+        seg_path = os.path.join(self.path, "updates", f"seg={epoch}")
+        build_index(self.spark, docs, seg_path, text_col=text_col,
+                    doc_id_col="doc_id",
+                    tokenizer=self.tokenizer if self.meta["tokenizer"] == "custom"
+                    else self.meta["tokenizer"],
+                    docs_per_block=self.docs_per_block,
+                    truncate=bool(self.meta.get("truncate", False)))
+        tdf = self.spark.createDataFrame(
+            [(d, epoch) for d in ids], "doc_id long, seg long")
+        tdf.coalesce(1).write.mode("append").parquet(
+            os.path.join(self.path, "tombstones"))
+        self._invalidate_caches()
+
+    def _invalidate_caches(self) -> None:
+        self._tomb_cache = None
+        self._dl_bc = None
+        self._postings_df = None
+        self._doclens_df = None
+        self._df_cache = {}
 
     # --- tables -----------------------------------------------------------
     @property
     def postings(self) -> DataFrame:
         if self._postings_df is not None:
             return self._postings_df
-        return self.spark.read.parquet(os.path.join(self.path, "postings"))
+        base = self.spark.read.parquet(os.path.join(self.path, "postings")) \
+            .withColumn("seg", F.lit(0).cast("long"))
+        for s in self._update_segs():
+            seg = self.spark.read.parquet(
+                os.path.join(self.path, "updates", f"seg={s}", "postings")) \
+                .withColumn("seg", F.lit(s).cast("long"))
+            base = base.unionByName(seg)
+        return base
 
     @property
     def doclens(self) -> DataFrame:
         if self._doclens_df is not None:
             return self._doclens_df
-        return self.spark.read.parquet(os.path.join(self.path, "doclens"))
+        base = self.spark.read.parquet(os.path.join(self.path, "doclens")) \
+            .withColumn("seg", F.lit(0).cast("long"))
+        for s in self._update_segs():
+            seg = self.spark.read.parquet(
+                os.path.join(self.path, "updates", f"seg={s}", "doclens")) \
+                .withColumn("seg", F.lit(s).cast("long"))
+            base = base.unionByName(seg)
+        return base
 
     @property
     def docstats(self) -> DataFrame:
         """Per-doc (doc_id, block_id, doc_len), derived from the packed
         per-block doclens rows (not materialized — the packed form is the
-        source of truth; this explode is only for API/oracle use)."""
+        source of truth; this explode is only for API/oracle use).
+        Update segments override a doc's length (highest seg wins)."""
         docs_per_block = self.docs_per_block
         schema = StructType([
             StructField("doc_id", LongType()),
             StructField("block_id", LongType()),
             StructField("doc_len", FloatType()),
         ])
+        has_segs = bool(self._update_segs())
+        if has_segs:
+            schema = StructType(schema.fields + [StructField("seg", LongType())])
 
         def _explode(it):
             for pdf in it:
-                for block_id, ids_raw, lens_raw in zip(
-                        pdf["block_id"], pdf["doc_ids"], pdf["doc_lens"]):
+                for block_id, ids_raw, lens_raw, seg in zip(
+                        pdf["block_id"], pdf["doc_ids"], pdf["doc_lens"],
+                        pdf["seg"]):
                     ids = np.frombuffer(ids_raw, dtype="<i8")
-                    yield pd.DataFrame({
+                    out = {
                         "doc_id": ids + int(block_id) * docs_per_block,
                         "block_id": int(block_id),
                         "doc_len": np.frombuffer(lens_raw, dtype="<f4"),
-                    })
+                    }
+                    if has_segs:
+                        out["seg"] = int(seg)
+                    yield pd.DataFrame(out)
 
-        return self.doclens.mapInPandas(_explode, schema)
+        stats = self.doclens.mapInPandas(_explode, schema)
+        if has_segs:
+            stats = stats.groupBy("doc_id").agg(
+                F.max_by("block_id", "seg").alias("block_id"),
+                F.max_by("doc_len", "seg").alias("doc_len"),
+            ).select("doc_id", "block_id", "doc_len")
+        return stats
 
     @property
     def term_stats(self) -> DataFrame:
@@ -166,14 +317,55 @@ class SearchIndex:
     def _doclens_broadcast(self):
         if getattr(self, "_dl_bc", None) is None:
             rows = self.doclens.collect()
-            table = {int(r["block_id"]): (r["doc_ids"], r["doc_lens"])
-                     for r in rows}
+            by_block: dict = {}
+            for r in rows:
+                by_block.setdefault(int(r["block_id"]), []).append(
+                    (int(r["seg"]) if "seg" in r else 0,
+                     r["doc_ids"], r["doc_lens"]))
+            table = {}
+            for b, segs in by_block.items():
+                if len(segs) == 1:
+                    table[b] = (segs[0][1], segs[0][2])
+                else:  # update segments: later seg overrides a doc's len
+                    ids, lens = patch_doclens(segs)
+                    table[b] = (ids.astype("<i8").tobytes(),
+                                lens.astype("<f4").tobytes())
             self._dl_bc = self.spark.sparkContext.broadcast(table)
         return self._dl_bc
 
+    # prune doc blocks via term->block metadata when the rarest query
+    # term is at least this much rarer than the corpus (the metadata
+    # lookup is one cheap job; for all-hot queries it prunes nothing)
+    BLOCK_PRUNE_DF_RATIO = 0.02
+
+    def _prune_blocks(self, tokens_b: List[List[str]],
+                      block_ids: Optional[Sequence[int]]) -> Optional[List[int]]:
+        """Blocks that can possibly match: union over query tokens of
+        (for a phrase: blocks containing ALL its terms; for a term: its
+        blocks). Distributed analogue of the reference's rare-first
+        posting trim at the partition level — hot terms' posting rows in
+        blocks lacking the rare term never leave the scan."""
+        all_terms = sorted({t for tok in tokens_b for t in tok})
+        rows = self.postings.filter(F.col("term").isin(all_terms)) \
+            .select("term", "block_id").distinct().collect()
+        by_term: dict = {}
+        for r in rows:
+            by_term.setdefault(r["term"], set()).add(int(r["block_id"]))
+        needed: set = set()
+        for tok in tokens_b:
+            tok_blocks = None
+            for t in tok:
+                blks = by_term.get(t, set())
+                tok_blocks = blks if tok_blocks is None else tok_blocks & blks
+            needed |= tok_blocks or set()
+        if block_ids is not None:
+            needed &= {int(b) for b in block_ids}
+        return sorted(needed)
+
     def _hits(self, tokens: List[List[str]], similarity=None,
               min_posn: Optional[int] = None, max_posn: Optional[int] = None,
-              slop: int = 0, block_ids: Optional[Sequence[int]] = None) -> DataFrame:
+              slop: int = 0, block_ids: Optional[Sequence[int]] = None,
+              candidates: Optional[DataFrame] = None) -> DataFrame:
         """(token_idx, doc_id, tf, score) for each query token (term or
         phrase), computed block-locally.
 
@@ -184,6 +376,14 @@ class SearchIndex:
            the pruned posting rows only.
         3. doclens too large to broadcast -> block cogroup (both sides
            shuffle by block_id; doc-axis partitioned, never by doc).
+
+        ``candidates`` (a DataFrame with a doc_id column) restricts
+        scoring to those docs INSIDE the kernel (posting-array semi-join,
+        reference FilteredPosns semantics, postings.py:344-358): the
+        candidate ids are packed per doc block and joined onto the
+        pruned postings scan, which also drops whole blocks with no
+        candidates. idf/avgdl/N stay corpus-global (standard filter
+        semantics).
         """
         if slop != 0:
             from .spans import span_freqs  # noqa: F401  (fail fast on driver)
@@ -198,6 +398,14 @@ class SearchIndex:
         tokens_b = [list(t) for t in tokens]
         dfs_b = dict(dfs)
 
+        # metadata block pruning: worthwhile when a phrase has a rare term
+        has_phrase = any(len(t) > 1 for t in tokens_b)
+        min_df = min(dfs.values()) if dfs else 0
+        if has_phrase and min_df <= num_docs * self.BLOCK_PRUNE_DF_RATIO:
+            block_ids = self._prune_blocks(tokens_b, block_ids)
+            if not block_ids:
+                return self.spark.createDataFrame([], HITS_SCHEMA)
+
         def empty_out() -> pd.DataFrame:
             return pd.DataFrame(
                 {"token_idx": pd.Series([], dtype="int32"),
@@ -205,14 +413,19 @@ class SearchIndex:
                  "tf": pd.Series([], dtype="float32"),
                  "score": pd.Series([], dtype="float32")})
 
-        def score_block(block_id: int, packed: dict, dl_raw) -> pd.DataFrame:
+        def score_block(block_id: int, packed: dict, dl_raw,
+                        cand_raw=None) -> pd.DataFrame:
             base = block_id * docs_per_block
             dl_ids = np.frombuffer(dl_raw[0], dtype="<i8")
             dl_lens = np.frombuffer(dl_raw[1], dtype="<f4")
+            cand_ids = (np.frombuffer(cand_raw, dtype="<i8")
+                        if cand_raw is not None else None)
             out_tok, out_doc, out_tf, out_score = [], [], [], []
             empty = np.zeros(0, dtype=np.uint64)
             for idx, tok in enumerate(tokens_b):
                 encoded = [packed.get(t, empty) for t in tok]
+                if cand_ids is not None:
+                    encoded = [K.slice_keys(e, cand_ids) for e in encoded]
                 if min_posn is not None or max_posn is not None:
                     encoded = [K.slice_posn_window(e, min_posn, max_posn)
                                for e in encoded]
@@ -248,21 +461,51 @@ class SearchIndex:
                 "score": np.concatenate(out_score),
             })
 
-        def merge_packed(left: pd.DataFrame) -> dict:
+        tomb = self._tombstones()  # {} when no deletes/updates (common)
+
+        def merge_packed(left: pd.DataFrame, block_id: int) -> dict:
+            t_entry = tomb.get(int(block_id))
             packed: dict = {}
             for row in left.itertuples():
                 arr = K.from_bytes(row.postings)
+                if t_entry is not None:
+                    # drop docs tombstoned by a LATER epoch than this row
+                    excl = t_entry[0][t_entry[1] > getattr(row, "seg", 0)]
+                    if len(excl):
+                        arr = K.exclude_keys(arr, excl)
                 prev = packed.get(row.term)
-                if prev is not None:  # chunked posting rows: merge sorted
-                    arr = np.concatenate((prev, arr))
-                    arr.sort(kind="stable")
+                if prev is not None:
+                    # chunked rows: disjoint-range merge; update-segment
+                    # rows may share headers -> OR-merge unions bitmasks
+                    arr = K.or_merge(np.concatenate((prev, arr)))
                 packed[row.term] = arr
             return packed
 
         posts = self.postings.filter(F.col("term").isin(all_terms))
         if block_ids is not None:
             posts = posts.filter(F.col("block_id").isin([int(b) for b in block_ids]))
+        has_cand = candidates is not None
+        if has_cand:
+            # pack candidate doc ids per block (sorted unique local ids)
+            # and join onto the pruned scan: inner join also drops whole
+            # blocks holding no candidates (partition-level pruning)
+            dpb = docs_per_block
+
+            def pack_ids(pdf: pd.DataFrame) -> pd.DataFrame:
+                lids = np.unique(pdf["lid"].to_numpy(dtype=np.int64))
+                return pd.DataFrame({"block_id": [int(pdf["block_id"].iloc[0])],
+                                     "cand": [lids.astype("<i8").tobytes()]})
+
+            cand_packed = candidates.select(
+                F.floor(F.col("doc_id") / F.lit(dpb)).cast("long").alias("block_id"),
+                F.pmod(F.col("doc_id"), F.lit(dpb)).cast("long").alias("lid"),
+            ).groupBy("block_id").applyInPandas(
+                pack_ids, "block_id long, cand binary")
+            posts = posts.join(cand_packed, "block_id", "inner")
         single_terms_only = all(len(t) == 1 for t in tokens_b)
+
+        def _cand_of(pdf: pd.DataFrame):
+            return pdf["cand"].iloc[0] if has_cand else None
 
         if self.num_docs <= self.DOCLENS_BROADCAST_MAX_DOCS:
             dl_bc = self._doclens_broadcast()
@@ -279,16 +522,20 @@ class SearchIndex:
                             if dl_raw is None:
                                 continue
                             yield score_block(int(block_id),
-                                              merge_packed(grp), dl_raw)
+                                              merge_packed(grp, block_id),
+                                              dl_raw, _cand_of(grp))
 
-                return posts.select("term", "block_id", "postings") \
+                cols = ["term", "block_id", "postings", "seg"] \
+                    + (["cand"] if has_cand else [])
+                return posts.select(*cols) \
                     .mapInPandas(map_kernel, HITS_SCHEMA)
 
             def grouped_kernel(key, left: pd.DataFrame) -> pd.DataFrame:
                 dl_raw = dl_bc.value.get(int(key[0]))
                 if dl_raw is None or len(left) == 0:
                     return empty_out()
-                return score_block(int(key[0]), merge_packed(left), dl_raw)
+                return score_block(int(key[0]), merge_packed(left, key[0]),
+                                   dl_raw, _cand_of(left))
 
             return posts.groupBy("block_id").applyInPandas(
                 grouped_kernel, HITS_SCHEMA)
@@ -296,8 +543,16 @@ class SearchIndex:
         def cogroup_kernel(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
             if len(left) == 0 or len(right) == 0:
                 return empty_out()
-            dl_raw = (right["doc_ids"].iloc[0], right["doc_lens"].iloc[0])
-            return score_block(int(key[0]), merge_packed(left), dl_raw)
+            if len(right) == 1:
+                dl_raw = (right["doc_ids"].iloc[0], right["doc_lens"].iloc[0])
+            else:  # update segments: later seg overrides a doc's length
+                ids, lens = patch_doclens(list(zip(
+                    right["seg"] if "seg" in right else [0] * len(right),
+                    right["doc_ids"], right["doc_lens"])))
+                dl_raw = (ids.astype("<i8").tobytes(),
+                          lens.astype("<f4").tobytes())
+            return score_block(int(key[0]), merge_packed(left, key[0]),
+                               dl_raw, _cand_of(left))
 
         return posts.groupBy("block_id").cogroup(
             self.doclens.groupBy("block_id")
@@ -305,38 +560,45 @@ class SearchIndex:
 
     # --- public API -------------------------------------------------------
     def termfreqs(self, token: TokenArg, min_posn: Optional[int] = None,
-                  max_posn: Optional[int] = None, slop: int = 0) -> DataFrame:
+                  max_posn: Optional[int] = None, slop: int = 0,
+                  candidates: Optional[DataFrame] = None) -> DataFrame:
         """Sparse per-doc term/phrase frequencies: (doc_id, tf)."""
         toks = _normalize_token(token)
         return self._hits([toks], min_posn=min_posn, max_posn=max_posn,
-                          slop=slop).select("doc_id", "tf")
+                          slop=slop, candidates=candidates).select("doc_id", "tf")
 
     def score(self, token: TokenArg, similarity=None, slop: int = 0,
               min_posn: Optional[int] = None,
-              max_posn: Optional[int] = None) -> DataFrame:
+              max_posn: Optional[int] = None,
+              candidates: Optional[DataFrame] = None) -> DataFrame:
         """Sparse BM25 (or custom similarity) scores: (doc_id, score).
 
         Phrase scoring: tf = phrase freq, idf sums the constituent terms'
-        dfs (reference postings.py:652-680).
+        dfs (reference postings.py:652-680). ``candidates`` (DataFrame
+        with doc_id) restricts scoring to those docs inside the kernel.
         """
         toks = _normalize_token(token)
         return self._hits([toks], similarity=similarity, slop=slop,
-                          min_posn=min_posn, max_posn=max_posn) \
+                          min_posn=min_posn, max_posn=max_posn,
+                          candidates=candidates) \
             .select("doc_id", "score")
 
     def score_many(self, tokens: Sequence[TokenArg], similarity=None,
-                   slop: int = 0) -> DataFrame:
+                   slop: int = 0,
+                   candidates: Optional[DataFrame] = None) -> DataFrame:
         """Batch scoring of many tokens in one pass: (token_idx, doc_id,
         tf, score). One postings scan + one kernel pass for the whole
         query — the building block for boolean/edismax queries."""
         toks = [_normalize_token(t) for t in tokens]
-        return self._hits(toks, similarity=similarity, slop=slop)
+        return self._hits(toks, similarity=similarity, slop=slop,
+                          candidates=candidates)
 
     def top_k(self, token: TokenArg, k: int = 10, similarity=None,
-              slop: int = 0) -> DataFrame:
+              slop: int = 0, candidates: Optional[DataFrame] = None) -> DataFrame:
         """Global top-k by score (ties broken by doc_id): distributed
         per-partition top-k then driver merge (TakeOrderedAndProject)."""
-        return self.score(token, similarity=similarity, slop=slop) \
+        return self.score(token, similarity=similarity, slop=slop,
+                          candidates=candidates) \
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     # relative safety margin on block upper bounds: the kernel computes
@@ -458,15 +720,30 @@ class SearchIndex:
             .filter(F.col("rank") <= k) \
             .select("token_idx", "doc_id", "score", "rank")
 
-    def positions(self, term: str) -> DataFrame:
-        """Decoded positions per doc for one term (debug/API parity)."""
+    def positions(self, term: str,
+                  doc_ids: Optional[Sequence[int]] = None) -> DataFrame:
+        """Decoded positions per doc for one term (debug/API parity).
+
+        ``doc_ids`` restricts decoding to those docs (reference
+        postings.py:682-687 ``key=``): the scan prunes to their blocks
+        and the kernel semi-joins before decoding.
+        """
         docs_per_block = self.docs_per_block
+        want = None
+        if doc_ids is not None:
+            want = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
 
         def decode_rows(it):
             for pdf in it:
                 for row in pdf.itertuples():
                     packed = K.from_bytes(row.postings)
+                    if want is not None:
+                        base = row.block_id * docs_per_block
+                        local = want[(want >= base) & (want < base + docs_per_block)] - base
+                        packed = K.slice_keys(packed, local)
                     ids, posns = K.decode(packed)
+                    if len(ids) == 0:
+                        continue
                     starts = np.concatenate(
                         ([0], np.flatnonzero(np.diff(ids)) + 1, [len(ids)]))
                     yield pd.DataFrame({
@@ -475,8 +752,11 @@ class SearchIndex:
                                   for s, e in zip(starts[:-1], starts[1:])],
                     })
 
-        return self.postings.filter(F.col("term") == term) \
-            .mapInPandas(decode_rows, POSITIONS_SCHEMA)
+        posts = self.postings.filter(F.col("term") == term)
+        if want is not None:
+            blocks = sorted({int(d) // docs_per_block for d in want})
+            posts = posts.filter(F.col("block_id").isin(blocks))
+        return posts.mapInPandas(decode_rows, POSITIONS_SCHEMA)
 
     # --- boolean combinators (reference user-level AND/OR patterns,
     #     test_search.py:146-204) -----------------------------------------

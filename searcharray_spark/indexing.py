@@ -108,7 +108,8 @@ def assign_doc_ids(df: DataFrame, order_col: str, num_partitions: Optional[int] 
 
 
 def _make_block_builder(tokenizer_fn, docs_per_block: int, truncate: bool,
-                        max_words_per_row: int = 131072):
+                        max_words_per_row: int = 131072,
+                        pretokenized: bool = False):
     """Per-block kernel: tokenize + build packed postings for one doc block.
 
     The tokenizer callable is captured in the closure (cloudpickle ships it
@@ -126,7 +127,13 @@ def _make_block_builder(tokenizer_fn, docs_per_block: int, truncate: bool,
         tok = tokenizer_fn
         block_id = int(pdf["block_id"].iloc[0])
         base = block_id * docs_per_block
-        token_lists = pdf["text"].map(tok)
+        if pretokenized:
+            # tokens arrive as array<string> (reference S3,
+            # build_index_from_terms_list, indexing.py:298-342)
+            token_lists = pdf["text"].map(
+                lambda t: t if t is not None else [])
+        else:
+            token_lists = pdf["text"].map(tok)
         lens = token_lists.map(len).to_numpy(dtype=np.int64)
         if lens.size and lens.max() > MAX_POSN + 1:
             if not truncate:
@@ -209,6 +216,7 @@ def build_index(
     corpus: DataFrame,
     index_path: str,
     text_col: str = "text",
+    tokens_col: Optional[str] = None,
     doc_id_col: Optional[str] = None,
     order_col: Optional[str] = None,
     tokenizer: str = "ws",
@@ -223,6 +231,10 @@ def build_index(
 
     ``checkpoint_groups`` > 1 splits the corpus into doc-block groups that
     commit independently (resumable via ``resume=True``).
+
+    ``tokens_col`` builds from a pre-tokenized ``array<string>`` column
+    (reference S3, indexing.py:298-342) — no tokenizer runs at build
+    time; ``tokenizer`` still names the query-side tokenizer.
     """
     from .index import SearchIndex
 
@@ -233,13 +245,14 @@ def build_index(
         tokenizer_name = "custom"
     t_start = time.time()
 
+    in_col = tokens_col if tokens_col is not None else text_col
     if doc_id_col is not None:
         df = corpus.withColumnRenamed(doc_id_col, "doc_id") if doc_id_col != "doc_id" else corpus
-        df = df.select(F.col("doc_id").cast("long"), F.col(text_col).alias("text"))
+        df = df.select(F.col("doc_id").cast("long"), F.col(in_col).alias("text"))
     else:
         if order_col is None:
             raise ValueError("need doc_id_col or order_col for deterministic doc ids")
-        df = assign_doc_ids(corpus.select(F.col(order_col), F.col(text_col).alias("text")), order_col)
+        df = assign_doc_ids(corpus.select(F.col(order_col), F.col(in_col).alias("text")), order_col)
         df = df.select("doc_id", "text")
 
     df = df.withColumn("block_id", F.floor(F.col("doc_id") / F.lit(docs_per_block)))
@@ -258,7 +271,8 @@ def build_index(
     marker_dir = os.path.join(index_path, "_groups")
     os.makedirs(marker_dir, exist_ok=True)
     builder = _make_block_builder(tokenizer_fn, docs_per_block, truncate,
-                                  max_words_per_row)
+                                  max_words_per_row,
+                                  pretokenized=tokens_col is not None)
 
     groups = max(1, checkpoint_groups)
     metrics_path = os.path.join(index_path, "metrics.jsonl")

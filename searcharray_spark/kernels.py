@@ -144,6 +144,36 @@ def slice_keys(packed: np.ndarray, doc_ids: np.ndarray) -> np.ndarray:
     return packed[doc_ids[pos] == k]
 
 
+def exclude_keys(packed: np.ndarray, doc_ids: np.ndarray) -> np.ndarray:
+    """Anti-join: drop words whose doc id is in ``doc_ids`` (sorted
+    unique) — the tombstone filter (reference P8 delete semantics)."""
+    if len(packed) == 0 or len(doc_ids) == 0:
+        return packed
+    k = keys(packed)
+    pos = np.searchsorted(doc_ids, k)
+    pos[pos == len(doc_ids)] = len(doc_ids) - 1
+    return packed[doc_ids[pos] != k]
+
+
+def or_merge(packed: np.ndarray) -> np.ndarray:
+    """Sort a packed array and OR-merge words sharing a header.
+
+    Needed when posting fragments with OVERLAPPING doc ranges are
+    concatenated (reference PosnBitArray.merge, middle_out.py:394-408):
+    the same (doc, posn-block) may appear in both fragments and their
+    position bitmasks must union, not duplicate.
+    """
+    if len(packed) < 2:
+        return packed
+    packed = np.sort(packed, kind="stable")
+    hdr = packed & HEADER_MASK
+    dup = np.diff(hdr) == 0
+    if not dup.any():
+        return packed
+    starts = np.concatenate(([0], np.flatnonzero(~dup) + 1))
+    return hdr[starts] | np.bitwise_or.reduceat(lsb(packed), starts)
+
+
 def unique_keys(packed: np.ndarray) -> np.ndarray:
     """Sorted distinct doc ids of a packed posting array (keys are already
     sorted, so dedupe is a diff scan, not a sort)."""

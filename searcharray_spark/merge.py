@@ -20,12 +20,153 @@ from pyspark.sql import SparkSession, functions as F
 from .index import SearchIndex
 
 
+def compact_index(spark: SparkSession, index_path: str, out_path: str) -> SearchIndex:
+    """Materialize tombstones + update segments into a fresh index.
+
+    Deleted docs disappear; updated docs keep their ids with the new
+    content; df / tf / block-max metadata and corpus stats (num_docs,
+    avg_doc_len) are recomputed exactly. The epoch resets (no
+    tombstones/updates in the output). Compacted doclens are broadcast
+    into the postings rewrite kernel (same bound as query-time doclens
+    broadcast; a >32M-doc compaction would cogroup instead).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from . import kernels as K
+
+    idx = SearchIndex(spark, index_path)
+    tomb = idx._tombstones()
+    dpb = idx.docs_per_block
+
+    # --- compacted doclens: per block, later segs override; a doc
+    # survives unless its newest row predates its newest tombstone
+    dl_rows = idx.doclens.collect()
+    by_block: dict = {}
+    for r in dl_rows:
+        by_block.setdefault(int(r["block_id"]), []).append(
+            (int(r["seg"]), np.frombuffer(r["doc_ids"], dtype="<i8"),
+             np.frombuffer(r["doc_lens"], dtype="<f4")))
+    final_dl: dict = {}
+    for b, rows in by_block.items():
+        ids = None
+        for seg, i, ln in sorted(rows, key=lambda x: x[0]):
+            if ids is None:
+                ids, lens, segs = i, ln, np.full(len(i), seg, dtype=np.int64)
+                continue
+            all_ids = np.union1d(ids, i)
+            new_lens = np.empty(len(all_ids), dtype=np.float32)
+            new_segs = np.full(len(all_ids), -1, dtype=np.int64)
+            for src_ids, src_lens, src_seg in ((ids, lens, None), (i, ln, seg)):
+                pos = np.searchsorted(src_ids, all_ids)
+                pos_c = np.minimum(pos, len(src_ids) - 1)
+                m = src_ids[pos_c] == all_ids
+                new_lens[m] = src_lens[pos_c[m]]
+                new_segs[m] = segs[pos_c[m]] if src_seg is None else src_seg
+            ids, lens, segs = all_ids, new_lens, new_segs
+        if b in tomb:
+            t_ids, t_segs = tomb[b]
+            pos = np.searchsorted(t_ids, ids)
+            pos_c = np.minimum(pos, len(t_ids) - 1)
+            hit = t_ids[pos_c] == ids
+            dead = hit & (t_segs[pos_c] > segs)
+            ids, lens = ids[~dead], lens[~dead]
+        if len(ids):
+            final_dl[b] = (ids, lens)
+
+    dl_bc = spark.sparkContext.broadcast(
+        {b: (i.astype("<i8").tobytes(), ln.astype("<f4").tobytes())
+         for b, (i, ln) in final_dl.items()})
+    tomb_bc = spark.sparkContext.broadcast(tomb)
+
+    # --- postings rewrite: per (term, block) merge rows, drop tombstoned
+    # docs, recompute df/tf_total/tf_max/dl_min
+    out_schema = ("term string, block_id long, postings binary, df long, "
+                  "tf_total long, tf_max long, dl_min long")
+
+    def rewrite(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        term, block_id = key[0], int(key[1])
+        t_entry = tomb_bc.value.get(block_id)
+        parts = []
+        for row in pdf.itertuples():
+            arr = K.from_bytes(row.postings)
+            if t_entry is not None:
+                excl = t_entry[0][t_entry[1] > row.seg]
+                if len(excl):
+                    arr = K.exclude_keys(arr, excl)
+            parts.append(arr)
+        arr = K.or_merge(np.concatenate(parts)) if len(parts) > 1 else parts[0]
+        if len(arr) == 0:
+            return pd.DataFrame({
+                "term": pd.Series([], dtype=object),
+                "block_id": pd.Series([], dtype="int64"),
+                "postings": pd.Series([], dtype=object),
+                "df": pd.Series([], dtype="int64"),
+                "tf_total": pd.Series([], dtype="int64"),
+                "tf_max": pd.Series([], dtype="int64"),
+                "dl_min": pd.Series([], dtype="int64"),
+            })
+        ids, tfs = K.termfreqs(arr)
+        dl_raw = dl_bc.value.get(block_id)
+        dl_ids = np.frombuffer(dl_raw[0], dtype="<i8")
+        dl_lens = np.frombuffer(dl_raw[1], dtype="<f4")
+        dls = dl_lens[np.searchsorted(dl_ids, ids)]
+        return pd.DataFrame({
+            "term": [term], "block_id": [block_id],
+            "postings": [K.to_bytes(arr)], "df": [int(len(ids))],
+            "tf_total": [int(tfs.sum())], "tf_max": [int(tfs.max())],
+            "dl_min": [int(dls.min())],
+        })
+
+    n_parts = max(4, spark.sparkContext.defaultParallelism)
+    new_posts = idx.postings.groupBy("term", "block_id").applyInPandas(
+        rewrite, out_schema)
+    new_posts.repartitionByRange(n_parts, "term", "block_id") \
+        .sortWithinPartitions("term", "block_id") \
+        .write.mode("overwrite").parquet(os.path.join(out_path, "postings"))
+
+    dl_out = spark.createDataFrame(
+        [(b, i.astype("<i8").tobytes(), ln.astype("<f4").tobytes())
+         for b, (i, ln) in sorted(final_dl.items())],
+        "block_id long, doc_ids binary, doc_lens binary")
+    dl_out.write.mode("overwrite").parquet(os.path.join(out_path, "doclens"))
+
+    spark.read.parquet(os.path.join(out_path, "postings")) \
+        .groupBy("term").agg(F.sum("df").alias("df"),
+                             F.sum("tf_total").alias("tf_total"),
+                             F.count("*").alias("n_blocks")) \
+        .repartitionByRange(max(1, n_parts // 4), "term") \
+        .sortWithinPartitions("term") \
+        .write.mode("overwrite").parquet(os.path.join(out_path, "term_stats"))
+
+    num_docs = int(sum(len(i) for i, _ in final_dl.values()))
+    total_tokens = float(sum(ln.sum() for _, ln in final_dl.values()))
+    meta = dict(idx.meta)
+    meta.update({
+        "num_docs": num_docs,
+        "total_tokens": total_tokens,
+        "avg_doc_len": (total_tokens / num_docs) if num_docs else 0.0,
+        "compacted_from": index_path,
+    })
+    with open(os.path.join(out_path, "meta.json"), "w") as fh:
+        json.dump(meta, fh, indent=2)
+    return SearchIndex(spark, out_path)
+
+
 def merge_indexes(spark: SparkSession, index_paths: Sequence[str],
-                  out_path: str) -> SearchIndex:
+                  out_path: str, allow_overlap: bool = False) -> SearchIndex:
     """Merge indexes with disjoint doc-id ranges into one index.
 
-    All inputs must share tokenizer and docs_per_block; their doc blocks
-    must not overlap (disjoint doc-id ranges => disjoint block ids).
+    All inputs must share tokenizer and docs_per_block. By default doc
+    ids must be disjoint (the segment-append case). ``allow_overlap=True``
+    merges indexes sharing doc ids (reference B5, PosnBitArray.merge,
+    middle_out.py:394-408): a shared doc's positions UNION (the query
+    kernel OR-merges posting words sharing a (doc, posn-block) header)
+    and its doc length takes the max across inputs. Caveat (documented):
+    per-term df/tf_total in term_stats are summed, so stats double-count
+    docs present in several inputs until a compact-style rebuild — tf,
+    phrase, and position results are exact.
     """
     metas = []
     for p in index_paths:
@@ -66,8 +207,14 @@ def merge_indexes(spark: SparkSession, index_paths: Sequence[str],
         order = np.argsort(ids)
         ids, lens = ids[order], lens[order]
         if len(ids) > 1 and (np.diff(ids) == 0).any():
-            raise ValueError(
-                f"overlapping doc ids in block {int(key[0])} during merge")
+            if not allow_overlap:
+                raise ValueError(
+                    f"overlapping doc ids in block {int(key[0])} during merge "
+                    "(pass allow_overlap=True to union shared docs)")
+            # shared doc: positions union, doc_len = max across inputs
+            starts = np.concatenate(([0], np.flatnonzero(np.diff(ids)) + 1))
+            lens = np.maximum.reduceat(lens, starts)
+            ids = ids[starts]
         return pd.DataFrame({"block_id": [int(key[0])],
                              "doc_ids": [ids.astype('<i8').tobytes()],
                              "doc_lens": [lens.astype('<f4').tobytes()]})
@@ -83,8 +230,18 @@ def merge_indexes(spark: SparkSession, index_paths: Sequence[str],
         .sortWithinPartitions("term") \
         .write.mode("overwrite").parquet(os.path.join(out_path, "term_stats"))
 
-    num_docs = sum(m["num_docs"] for m in metas)
-    total_tokens = sum(m["total_tokens"] for m in metas)
+    if allow_overlap:
+        # shared docs mean input counts double-count: recount from the
+        # merged doclens (one pass over the small packed table)
+        rows = spark.read.parquet(os.path.join(out_path, "doclens")) \
+            .select("doc_ids", "doc_lens").collect()
+        import numpy as np
+        num_docs = sum(len(r["doc_ids"]) // 8 for r in rows)
+        total_tokens = float(sum(
+            np.frombuffer(r["doc_lens"], dtype="<f4").sum() for r in rows))
+    else:
+        num_docs = sum(m["num_docs"] for m in metas)
+        total_tokens = sum(m["total_tokens"] for m in metas)
     meta = dict(metas[0])
     meta.update({
         "num_docs": num_docs,

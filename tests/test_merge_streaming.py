@@ -76,3 +76,36 @@ def test_memory_report(spark, tmp_path):
     assert rep["total_bytes"] > 0
     assert rep["tables"]["postings"] > 0
     assert rep["top_terms"][0][0] == "common"  # most posting bytes
+
+
+def test_overlapping_merge_unions_positions(spark, tmp_path):
+    """B5: merging indexes sharing doc ids unions each doc's positions
+    (reference PosnBitArray.merge) — tf and phrase results are exact."""
+    from searcharray_spark.merge import merge_indexes
+    import numpy as np
+
+    # same doc ids; doc 0's content split across two indexes by position
+    a = spark.createDataFrame([(0, "foo bar"), (1, "data2")],
+                              "doc_id long, text string")
+    # second index re-tokenizes doc 0 with a later span: emulate via text
+    # whose tokens sit at positions 2,3 (prefix padding with the same
+    # tokens positions 0,1 would collide; instead give different terms)
+    b = spark.createDataFrame([(0, "foo bar baz quux"), (1, "data2")],
+                              "doc_id long, text string")
+    ia = build_index(spark, a, str(tmp_path / "a"), doc_id_col="doc_id",
+                     docs_per_block=4)
+    ib = build_index(spark, b, str(tmp_path / "b"), doc_id_col="doc_id",
+                     docs_per_block=4)
+    with pytest.raises(Exception, match="overlapping doc ids"):
+        merge_indexes(spark, [ia.path, ib.path], str(tmp_path / "no"))
+    m = merge_indexes(spark, [ia.path, ib.path], str(tmp_path / "m"),
+                      allow_overlap=True)
+    assert m.num_docs == 2
+    tf = np.zeros(2, dtype=np.int64)
+    for r in m.termfreqs("foo").collect():
+        tf[r["doc_id"]] = int(r["tf"])
+    assert tf.tolist() == [1, 0]  # same posn in both inputs: unioned, not doubled
+    pf = {r["doc_id"]: int(r["tf"]) for r in m.termfreqs(["bar", "baz"]).collect()}
+    assert pf == {0: 1}  # phrase spanning content from input b
+    dl = {r["doc_id"]: r["doc_len"] for r in m.doclengths().collect()}
+    assert dl[0] == 4.0  # max across inputs

@@ -153,3 +153,43 @@ def test_assign_doc_ids(spark):
     out = assign_doc_ids(df, "url").orderBy("doc_id").collect()
     assert [r["doc_id"] for r in out] == list(range(500))
     assert [r["url"] for r in out] == [f"url{i:04d}" for i in range(500)]
+
+
+def test_filtered_corpus_scoring(canonical_index, spark):
+    """candidates= must equal scoring everything then filtering, with
+    corpus-global idf/avgdl (reference P2 row-subset view semantics)."""
+    keep = [i for i in range(100) if i % 3 == 0]
+    cand = spark.createDataFrame([(i,) for i in keep], "doc_id long")
+    full = {r["doc_id"]: r["score"]
+            for r in canonical_index.score("bar").collect()}
+    filt = {r["doc_id"]: r["score"]
+            for r in canonical_index.score("bar", candidates=cand).collect()}
+    assert set(filt) == {d for d in full if d in set(keep)}
+    for d, s in filt.items():
+        assert s == full[d], d
+    # phrase path too
+    pf = {r["doc_id"]: r["tf"]
+          for r in canonical_index.termfreqs(["foo", "bar"], candidates=cand).collect()}
+    assert set(pf) == {i for i in keep if i % 4 == 0}
+    assert all(v == 1 for v in pf.values())
+
+
+def test_positions_doc_filter(canonical_index):
+    rows = canonical_index.positions("bar", doc_ids=[0, 2, 64]).collect()
+    got = {r["doc_id"]: list(r["posns"]) for r in rows}
+    assert got == {0: [1, 2], 2: [1], 64: [1, 2]}
+
+
+def test_pretokenized_build_matches_text_build(spark, tmp_path, canonical_index):
+    df = spark.createDataFrame(
+        [(i, t.split()) for i, t in enumerate(CANONICAL)],
+        "doc_id long, tokens array<string>")
+    idx = build_index(spark, df, str(tmp_path / "pretok"), tokens_col="tokens",
+                      doc_id_col="doc_id", docs_per_block=64)
+    assert np.array_equal(idx.termfreqs_dense("bar"),
+                          canonical_index.termfreqs_dense("bar"))
+    assert np.array_equal(idx.score_dense("bar"),
+                          canonical_index.score_dense("bar"))
+    assert np.array_equal(idx.termfreqs_dense(["foo", "bar"]),
+                          canonical_index.termfreqs_dense(["foo", "bar"]))
+    assert idx.avg_doc_len == canonical_index.avg_doc_len

@@ -1,0 +1,95 @@
+"""Delete / in-place update (tombstones + update segments) + compaction.
+
+Semantics mirror the reference's __setitem__ / delete behavior
+(/root/reference/searcharray/postings.py:360-425, test_update_rows.py):
+updated docs keep their ids and immediately reflect the new content;
+deleted docs stop matching. Corpus stats stay as-built until
+compact_index (documented Lucene-like divergence).
+"""
+import numpy as np
+import pytest
+
+from searcharray_spark import build_index
+from searcharray_spark.merge import compact_index
+
+BASE = ["foo bar bar baz", "data2", "data3 bar", "bunny funny wunny"] * 3
+
+
+@pytest.fixture()
+def idx(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(BASE)], "doc_id long, text string")
+    return build_index(spark, df, str(tmp_path / "idx"), doc_id_col="doc_id",
+                       docs_per_block=4)
+
+
+def tf_dense(idx, token, n=len(BASE)):
+    out = np.zeros(n, dtype=np.int64)
+    for r in idx.termfreqs(token).collect():
+        out[r["doc_id"]] = int(r["tf"])
+    return out
+
+
+def test_delete_docs(idx):
+    assert tf_dense(idx, "bar")[0] == 2
+    idx.delete_docs([0, 2])
+    tf = tf_dense(idx, "bar")
+    assert tf[0] == 0 and tf[2] == 0
+    assert tf[4] == 2 and tf[6] == 1  # other docs untouched
+    # phrase path honors tombstones too
+    pf = tf_dense(idx, ["foo", "bar"])
+    assert pf[0] == 0 and pf[4] == 1
+
+
+def test_update_docs_in_place(idx, spark):
+    upd = spark.createDataFrame(
+        [(2, "bar bar bar fresh")], "doc_id long, text string")
+    idx.update_docs(upd)
+    tf = tf_dense(idx, "bar")
+    assert tf[2] == 3  # new content, same doc id
+    assert tf_dense(idx, "data3")[2] == 0  # old content gone
+    assert tf_dense(idx, "fresh")[2] == 1  # new term matches (df stale, scored high)
+    # doc length patched: 4 tokens
+    dl = {r["doc_id"]: r["doc_len"] for r in idx.doclengths().collect()}
+    assert dl[2] == 4.0
+
+
+def test_delete_then_readd_resurrects(idx, spark):
+    idx.delete_docs([1])
+    assert tf_dense(idx, "data2")[1] == 0
+    idx.update_docs(spark.createDataFrame(
+        [(1, "data2 returned")], "doc_id long, text string"))
+    assert tf_dense(idx, "data2")[1] == 1
+    assert tf_dense(idx, "returned")[1] == 1
+
+
+def test_update_then_delete_wins(idx, spark):
+    idx.update_docs(spark.createDataFrame(
+        [(3, "replacement bar")], "doc_id long, text string"))
+    assert tf_dense(idx, "bar")[3] == 1
+    idx.delete_docs([3])
+    assert tf_dense(idx, "bar")[3] == 0
+    assert tf_dense(idx, "replacement")[3] == 0
+
+
+def test_compact_matches_fresh_build(idx, spark, tmp_path):
+    idx.delete_docs([1])
+    idx.update_docs(spark.createDataFrame(
+        [(2, "bar bar compacted")], "doc_id long, text string"))
+    live_tf = tf_dense(idx, "bar")
+
+    compacted = compact_index(spark, idx.path, str(tmp_path / "compacted"))
+    assert np.array_equal(tf_dense(compacted, "bar"), live_tf)
+    assert compacted.num_docs == len(BASE) - 1
+    # stats recomputed exactly: equal to an index freshly built from the
+    # final corpus state (deleted doc 1 absent, doc 2 replaced)
+    final = [(i, t) for i, t in enumerate(BASE) if i != 1]
+    final = [(i, "bar bar compacted") if i == 2 else (i, t) for i, t in final]
+    fresh = build_index(spark, spark.createDataFrame(final, "doc_id long, text string"),
+                        str(tmp_path / "fresh"), doc_id_col="doc_id",
+                        docs_per_block=4)
+    assert compacted.avg_doc_len == pytest.approx(fresh.avg_doc_len)
+    assert compacted.docfreq("bar") == fresh.docfreq("bar")
+    assert np.array_equal(compacted.score_dense("bar"), fresh.score_dense("bar"))
+    assert np.array_equal(compacted.termfreqs_dense(["foo", "bar"]),
+                          fresh.termfreqs_dense(["foo", "bar"]))
