@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     ("phrase3_slow_hash_batch", ["slow", "hash", "batch"]),
     ("phrase4_row_column_sort_scan", ["row", "column", "sort", "scan"]),
     ("phrase_same_term", ["the", "the"]),
+    ("slop2_table_hash", ["table", "hash"]),  # proximity (slop=2) top-10
 ]
 
 
@@ -62,16 +63,22 @@ def run_bench(sf_dir: str, cpus: int, repeat: int = 3, index_root: str | None = 
         for _ in range(repeat):
             t0 = time.time()
             if name.startswith("or_"):
-                rows = idx.search_or(token, mm=1) \
-                    .orderBy("score", ascending=False).limit(10).collect()
+                # block-max MaxScore pruned top-k (rank-identical to
+                # exhaustive search_or; tests/test_wand.py)
+                rows = idx.top_k_pruned(token, k=10).collect()
+            elif name.startswith("term_"):
+                rows = idx.top_k_pruned(token, k=10).collect()
+            elif name.startswith("slop"):
+                rows = idx.top_k(token, k=10, slop=2).collect()
             else:
                 rows = idx.top_k(token, k=10).collect()
             best = min(best, time.time() - t0)
             _ = len(rows)
         q_times[name] = round(best, 4)
 
-    # batched: all non-OR queries in one kernel pass
-    batch_tokens = [t for n, t in BENCH_QUERIES if not n.startswith("or_")]
+    # batched: all non-OR/non-slop queries in one kernel pass
+    batch_tokens = [t for n, t in BENCH_QUERIES
+                    if not n.startswith(("or_", "slop"))]
     idx.top_k_many(batch_tokens, k=10).collect()
     best_batch = float("inf")
     for _ in range(repeat):

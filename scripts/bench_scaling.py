@@ -28,9 +28,11 @@ QUERIES = [
     ("term_rare", "w00999"),
     ("phrase2_hot", ["of", "the"]),
     ("phrase2_mid", ["in", "a"]),
+    ("phrase2_hot_rare", ["the", "w00999"]),  # rare-first trim showcase
     ("phrase3", ["the", "of", "the"]),
     ("phrase_same_term", ["the", "the", "the"]),
     ("or_query", ["the", "time", "w00999"]),
+    ("slop2_hot", ["of", "the"]),  # proximity slop=2 (vectorized spans)
 ]
 
 CORPUS = "/tmp/sa_scaling_corpus"
@@ -61,9 +63,12 @@ def run_queries(idx, repeat: int) -> dict:
         best = float("inf")
         for _ in range(repeat):
             t0 = time.time()
-            if name.startswith("or_"):
-                rows = idx.search_or(token, mm=1) \
-                    .orderBy("score", ascending=False).limit(10).collect()
+            if name.startswith("or_") or name.startswith("term_"):
+                # block-max MaxScore pruned top-k (rank-identical to
+                # exhaustive scoring; tests/test_wand.py)
+                rows = idx.top_k_pruned(token, k=10).collect()
+            elif name.startswith("slop"):
+                rows = idx.top_k(token, k=10, slop=2).collect()
             else:
                 rows = idx.top_k(token, k=10).collect()
             best = min(best, time.time() - t0)
@@ -121,7 +126,7 @@ def worker(cpus: int, n_docs: int, repeat: int = 3):
     idx.cache()
     # batched throughput: all queries in ONE kernel pass (the
     # scale-relevant shape; also measured per-query below)
-    tokens = [t for _, t in QUERIES]
+    tokens = [t for n, t in QUERIES if not n.startswith("slop")]
     idx.top_k_many(tokens, k=10).collect()  # warmup
     batch_best = float("inf")
     for _ in range(repeat):

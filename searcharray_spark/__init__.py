@@ -8,6 +8,7 @@ Lucene-identical BM25 scoring.
 """
 from .indexing import assign_doc_ids, build_index
 from .index import SearchIndex
+from .merge import compact_index, merge_indexes
 from .similarity import (
     bm25_impact,
     bm25_legacy_similarity,
@@ -26,6 +27,8 @@ __all__ = [
     "assign_doc_ids",
     "build_index",
     "SearchIndex",
+    "merge_indexes",
+    "compact_index",
     "bm25_similarity",
     "bm25_legacy_similarity",
     "bm25_impact",

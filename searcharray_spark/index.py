@@ -7,8 +7,9 @@ results are (doc_id, tf|score) rows, never dense arrays, until a test
 helper densifies at small scale.
 
 Query execution model (no posting shuffle at query time):
-- postings scan is pruned to the query terms (parquet min/max on the
-  term-sorted files + pushed-down ``term IN (...)`` filter),
+- postings scan is pruned to the query terms (pushed-down ``term IN
+  (...)`` filter + row-group min/max pruning on the within-file term
+  sort; storage is document-partitioned so hot terms scan in parallel),
 - hits are computed block-locally by cogrouping query-term posting rows
   with the block's packed doclens row (``applyInPandas`` over
   ``block_id``), numpy kernels inside,
@@ -676,7 +677,10 @@ class SearchIndex:
             return self.spark.createDataFrame([], "doc_id long, score float")
         blocks = sorted(((b, ub) for b, ub in bounds.items()),
                         key=lambda x: (-x[1], x[0]))
-        chunk_size = max(8, self.spark.sparkContext.defaultParallelism)
+        # geometric chunk growth: flat bound distributions (hot terms)
+        # can't prune, so cap the number of sequential Spark jobs at
+        # O(log n_blocks) instead of O(n_blocks / parallelism)
+        chunk_size = max(16, self.spark.sparkContext.defaultParallelism)
         best: List = []  # (score, doc_id), kept sorted desc, len<=k
         theta = None
         scanned = 0
@@ -689,6 +693,7 @@ class SearchIndex:
                     theta is None or blocks[i][1] >= theta):
                 chunk.append(blocks[i][0])
                 i += 1
+            chunk_size *= 4
             hits = self._hits(tokens_list, similarity=similarity,
                               block_ids=chunk)
             rows = hits.groupBy("doc_id").agg(F.sum("score").alias("score")) \

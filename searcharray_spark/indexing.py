@@ -13,14 +13,15 @@ re-architected for a multi-executor cluster, not ported):
    vectorized), flatten to (term, local_doc, posn), one-pass multi-term
    encode into packed uint64 posting arrays + per-term block stats
    (df, tf_total, block-max tf for WAND-style pruning).
-4. shuffle-merge by term: per-(term, block) rows — pre-aggregated per
-   block (combiner shape) and CHUNKED to a bounded byte size
-   (``max_words_per_row``) so a hot term is many small rows, not one
-   huge one — are range-partitioned by (term, block_id). Row-count
-   balancing then also balances bytes: hot-term skew spreads across
-   reducers (tested: tests/test_build_resume.py). Files are written
-   sorted by term so parquet row-group min/max stats prune query-term
-   scans.
+4. shuffle-merge: per-(term, block) rows — pre-aggregated per block
+   (combiner shape) and CHUNKED to a bounded byte size
+   (``max_words_per_row``) — are range-partitioned by (block_id, term):
+   DOCUMENT-partitioned storage. Every file holds a block range with
+   the full term mix (uniform bytes, no hot-term write skew), sorted by
+   (term, block_id) within the file so parquet row-group min/max stats
+   prune query-term scans. A hot term's rows therefore spread across
+   every file — single-term scans parallelize across the cluster
+   instead of hitting one term-range partition.
 5. checkpointed build: blocks are processed in groups; each completed
    group commits its output + a marker, so a killed build resumes from
    the last committed group (north_rule resumability). Per-group metrics
@@ -307,10 +308,18 @@ def build_index(
     # concurrently (Spark schedules them together) so the serial tail of
     # the build is one round, not four ---
     def _write_postings():
+        # DOCUMENT-partitioned layout (block ranges), term-sorted within
+        # each file: a hot term's rows spread across EVERY file, so a
+        # single-term scan parallelizes across the cluster (term-range
+        # partitioning would put "the" in one file = one task), while
+        # the within-file term sort keeps parquet row-group min/max
+        # stats tight so pushed term filters still skip almost all data.
+        # Bytes are uniform per partition by construction (every block
+        # range holds the same term mix) — no hot-term write skew.
         stage.filter(F.col("kind") == "p") \
             .select("term", "block_id", "postings", "df", "tf_total",
                     "tf_max", "dl_min") \
-            .repartitionByRange(term_partitions, "term", "block_id") \
+            .repartitionByRange(term_partitions, "block_id", "term") \
             .sortWithinPartitions("term", "block_id") \
             .write.mode("overwrite").parquet(os.path.join(index_path, "postings"))
 
