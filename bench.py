@@ -66,8 +66,6 @@ def run_bench(sf_dir: str, cpus: int, repeat: int = 3, index_root: str | None = 
                 # block-max MaxScore pruned top-k (rank-identical to
                 # exhaustive search_or; tests/test_wand.py)
                 rows = idx.top_k_pruned(token, k=10).collect()
-            elif name.startswith("term_"):
-                rows = idx.top_k_pruned(token, k=10).collect()
             elif name.startswith("slop"):
                 rows = idx.top_k(token, k=10, slop=2).collect()
             else:

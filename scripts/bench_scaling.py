@@ -63,7 +63,7 @@ def run_queries(idx, repeat: int) -> dict:
         best = float("inf")
         for _ in range(repeat):
             t0 = time.time()
-            if name.startswith("or_") or name.startswith("term_"):
+            if name.startswith("or_"):
                 # block-max MaxScore pruned top-k (rank-identical to
                 # exhaustive scoring; tests/test_wand.py)
                 rows = idx.top_k_pruned(token, k=10).collect()
@@ -134,7 +134,7 @@ def worker(cpus: int, n_docs: int, repeat: int = 3):
         rows = idx.top_k_many(tokens, k=10).collect()
         batch_best = min(batch_best, time.time() - t0)
     assert len(rows) > 0
-    q_times = run_queries(idx, 1)
+    q_times = run_queries(idx, 2)
     total_q = sum(q_times.values())
     out = {
         "cpus": cpus,

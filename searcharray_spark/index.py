@@ -677,9 +677,12 @@ class SearchIndex:
             return self.spark.createDataFrame([], "doc_id long, score float")
         blocks = sorted(((b, ub) for b, ub in bounds.items()),
                         key=lambda x: (-x[1], x[0]))
-        # geometric chunk growth: flat bound distributions (hot terms)
-        # can't prune, so cap the number of sequential Spark jobs at
-        # O(log n_blocks) instead of O(n_blocks / parallelism)
+        # two-phase adaptive plan: one seed chunk of the highest-bound
+        # blocks establishes theta = kth score; every surviving block
+        # (bound >= theta) then runs in ONE job. On skewed corpora theta
+        # skips most blocks; on flat bound distributions the cost is
+        # bounded at seed job + one exhaustive-sized job — never a long
+        # chain of sequential chunk jobs.
         chunk_size = max(16, self.spark.sparkContext.defaultParallelism)
         best: List = []  # (score, doc_id), kept sorted desc, len<=k
         theta = None
@@ -688,12 +691,14 @@ class SearchIndex:
         while i < len(blocks):
             if theta is not None and blocks[i][1] < theta:
                 break  # every remaining block's bound is below the kth score
-            chunk = []
-            while i < len(blocks) and len(chunk) < chunk_size and (
-                    theta is None or blocks[i][1] >= theta):
-                chunk.append(blocks[i][0])
-                i += 1
-            chunk_size *= 4
+            if theta is None:
+                chunk = [b for b, _ in blocks[i:i + chunk_size]]
+                i += len(chunk)
+            else:
+                chunk = []
+                while i < len(blocks) and blocks[i][1] >= theta:
+                    chunk.append(blocks[i][0])
+                    i += 1
             hits = self._hits(tokens_list, similarity=similarity,
                               block_ids=chunk)
             rows = hits.groupBy("doc_id").agg(F.sum("score").alias("score")) \
@@ -704,6 +709,8 @@ class SearchIndex:
             best = best[:k]
             if len(best) >= k:
                 theta = best[-1][0]
+            elif i >= len(blocks):
+                break
         out = self.spark.createDataFrame(
             [(int(d), float(s)) for s, d in best], "doc_id long, score double") \
             .select("doc_id", F.col("score").cast("float"))

@@ -137,30 +137,39 @@ def span_freqs(encoded: List[np.ndarray], slop: int) -> Tuple[np.ndarray, np.nda
     if not ok.any():
         return _EMPTY_I64, _EMPTY_I64
 
-    # --- greedy disjoint selection: one binary search per match
+    # --- greedy disjoint selection (equivalently: maximum disjoint
+    # intervals [Lmax(r), r], earliest-end-first). Docs are independent,
+    # so ALL docs advance their greedy chains simultaneously: each round
+    # is pure numpy over the still-active docs and finds every doc's
+    # next match at once. Rounds = max matches in any single doc; total
+    # work stays O(total matches) but at C speed, not a Python loop per
+    # match.
     ok_r = np.flatnonzero(ok)
     # event index of each window's left edge (cpos strictly increasing
     # within a doc because positions are distinct; across docs trivially)
     ok_l = np.searchsorted(cpos, lmax_pos[ok_r], side="left")
-    match_r: List[int] = []
-    j = 0
-    i = 0
-    n_ok = len(ok_r)
-    while j < n_ok:
-        j = max(j, int(np.searchsorted(ok_l, i, side="left")))
-        if j >= n_ok:
-            break
-        r = int(ok_r[j])
-        match_r.append(r)
-        i = r + 1
-        j += 1
+    ok_doc = (cpos[ok_r] // _STRIDE).astype(np.int64)  # doc rank per ok event
+    # contiguous ok ranges per doc (ok_r ascending => ok_doc grouped)
+    doc_ranks, ok_start = np.unique(ok_doc, return_index=True)
+    ok_end = np.append(ok_start[1:], len(ok_r))
 
-    if not match_r:
-        return _EMPTY_I64, _EMPTY_I64
-    ranks = (cpos[np.asarray(match_r, dtype=np.int64)] // _STRIDE).astype(np.int64)
-    counts = np.bincount(ranks, minlength=len(cand)).astype(np.int64)
+    n_docs = len(doc_ranks)
+    counts = np.zeros(n_docs, dtype=np.int64)
+    cur_i = np.zeros(n_docs, dtype=np.int64)   # min allowed left event index
+    active = np.arange(n_docs)
+    while len(active):
+        # first ok event whose window starts at/after cur_i (ok_l is
+        # monotone: Lmax is monotone in r), clamped into the doc's range
+        j = np.searchsorted(ok_l, cur_i[active], side="left")
+        j = np.maximum(j, ok_start[active])
+        valid = j < ok_end[active]
+        hit_docs = active[valid]
+        counts[hit_docs] += 1
+        cur_i[hit_docs] = ok_r[j[valid]] + 1
+        active = hit_docs
+
     hit = counts > 0
-    return cand[hit].astype(np.int64), counts[hit]
+    return cand[doc_ranks[hit]].astype(np.int64), counts[hit]
 
 
 # ---------------------------------------------------------------------------
