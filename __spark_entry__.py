@@ -67,7 +67,7 @@ def _index_for(spark: SparkSession, sf_dir: str):
     if key in _INDEX_CACHE:
         return _INDEX_CACHE[key]
     cache_root = os.environ.get("SPARK_GRAFT_INDEX_CACHE", "/tmp/searcharray_spark_idx")
-    idx_path = os.path.join(cache_root, key.strip("/").replace("/", "_") + "_v2")
+    idx_path = os.path.join(cache_root, key.strip("/").replace("/", "_") + "_v3")
     if os.path.exists(os.path.join(idx_path, "meta.json")):
         idx = SearchIndex(spark, idx_path)
     else:
@@ -252,7 +252,7 @@ def q_term_freqs_pretokenized(spark, sf_dir):
     _ensure_pkg_on_executors(spark)
     key = os.path.abspath(sf_dir)
     cache_root = os.environ.get("SPARK_GRAFT_INDEX_CACHE", "/tmp/searcharray_spark_idx")
-    idx_path = os.path.join(cache_root, key.strip("/").replace("/", "_") + "_pretok_v1")
+    idx_path = os.path.join(cache_root, key.strip("/").replace("/", "_") + "_pretok_v2")
     if os.path.exists(os.path.join(idx_path, "meta.json")):
         idx = SearchIndex(spark, idx_path)
     else:

@@ -1,0 +1,138 @@
+"""Query-throughput N-vs-4N scaling on a LARGE corpus.
+
+The 4M-doc scaling run (bench_scaling.py) measures build scaling well,
+but after the round-2 kernel/layout optimizations single-query latency
+there is dominated by Spark's fixed per-job driver overhead (~0.3-0.5s),
+which no amount of executors shrinks — the measured "query scaling" was
+really overhead scaling. This runner evidences query THROUGHPUT scaling
+the way the north rule intends: a corpus big enough that kernel work
+dominates (default 16M docs ≈ 1B tokens), the SAME index served at
+local[N] and local[4N] (index bytes are parallelism-independent; build
+scaling is evidenced separately), measuring
+  - serial latency per query (best of R), and
+  - sustained qps with `cpus` queries in flight (saturation throughput).
+
+Usage: python scripts/bench_query_scaling.py [n_docs] [out_json] [N] [4N]
+       python scripts/bench_query_scaling.py --worker <cpus> <idx_path>
+"""
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from scripts.bench_scaling import QUERIES, ensure_corpus, CORPUS  # noqa: E402
+
+
+def run_one(idx, name, token):
+    if name.startswith("or_"):
+        return idx.top_k_pruned(token, k=10).collect()
+    if name.startswith("slop"):
+        return idx.top_k(token, k=10, slop=2).collect()
+    return idx.top_k(token, k=10).collect()
+
+
+def worker(cpus: int, idx_path: str, repeat: int = 2):
+    from concurrent.futures import ThreadPoolExecutor
+
+    from searcharray_spark import SearchIndex
+    from searcharray_spark.session import get_spark
+
+    spark = get_spark(f"qscale_{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    idx = SearchIndex(spark, idx_path)
+    idx.cache()
+    run_one(idx, *QUERIES[0])  # JIT + broadcast warmup
+    run_one(idx, "or_w", QUERIES[-2][1])
+
+    q_times = {}
+    for name, token in QUERIES:
+        best = float("inf")
+        for _ in range(repeat):
+            t0 = time.time()
+            run_one(idx, name, token)
+            best = min(best, time.time() - t0)
+        q_times[name] = round(best, 4)
+
+    # sustained: `cpus` queries in flight (saturation without
+    # oversubscribing the small config)
+    work = [q for q in QUERIES for _ in range(2)]
+    threads = max(2, cpus)
+    with ThreadPoolExecutor(threads) as pool:  # warm
+        list(pool.map(lambda q: run_one(idx, *q), work[:len(QUERIES)]))
+    t0 = time.time()
+    with ThreadPoolExecutor(threads) as pool:
+        list(pool.map(lambda q: run_one(idx, *q), work))
+    sustained = time.time() - t0
+    out = {
+        "cpus": cpus,
+        "queries": q_times,
+        "total_query_secs": round(sum(q_times.values()), 3),
+        "sustained_secs": round(sustained, 3),
+        "sustained_qps": round(len(work) / sustained, 3),
+    }
+    spark.stop()
+    print("WORKER_RESULT " + json.dumps(out))
+
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        worker(int(sys.argv[2]), sys.argv[3])
+        return
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 16_000_000
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "BENCH_query_scaling.json"
+    small_n = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    large_n = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+    ensure_corpus(n_docs)
+
+    idx_path = f"/tmp/sa_qscale_idx_{n_docs}"
+    if not os.path.exists(os.path.join(idx_path, "meta.json")):
+        from searcharray_spark import build_index
+        from searcharray_spark.session import get_spark
+        shutil.rmtree(idx_path, ignore_errors=True)
+        spark = get_spark("qscale_build", master=f"local[{large_n}]",
+                          shuffle_partitions=large_n)
+        corpus = spark.read.parquet(CORPUS)
+        t0 = time.time()
+        build_index(spark, corpus, idx_path, doc_id_col="doc_id",
+                    tokenizer="ws", docs_per_block=max(1024, n_docs // 128),
+                    term_partitions=large_n)
+        print(f"built {n_docs} docs in {time.time()-t0:.1f}s", file=sys.stderr)
+        spark.stop()
+
+    results = {}
+    for cpus in (small_n, large_n):
+        os.sync()
+        time.sleep(15)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker",
+             str(cpus), idx_path],
+            capture_output=True, text=True, timeout=3600,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        line = [ln for ln in proc.stdout.splitlines()
+                if ln.startswith("WORKER_RESULT ")]
+        if not line:
+            print(proc.stdout[-3000:], proc.stderr[-3000:])
+            raise RuntimeError(f"worker {cpus} failed")
+        results[cpus] = json.loads(line[-1][len("WORKER_RESULT "):])
+    small, large = results[small_n], results[large_n]
+    factor = large_n / small_n
+    result = {
+        "n_docs": n_docs,
+        f"local{small_n}": small,
+        f"local{large_n}": large,
+        "scaling_efficiency_query_sustained": round(
+            (large["sustained_qps"] / small["sustained_qps"]) / factor, 3),
+        "scaling_efficiency_query_serial": round(
+            (small["total_query_secs"] / large["total_query_secs"]) / factor, 3),
+    }
+    with open(out_path, "w") as fh:
+        json.dump(result, fh, indent=2)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

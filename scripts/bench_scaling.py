@@ -136,6 +136,29 @@ def worker(cpus: int, n_docs: int, repeat: int = 3):
     assert len(rows) > 0
     q_times = run_queries(idx, 2)
     total_q = sum(q_times.values())
+
+    # sustained throughput: many queries in flight at once (the serving
+    # shape a cluster sees). Single-query latency has a fixed driver/job
+    # floor that does NOT scale with executors; sustained qps does, and
+    # is the north-rule-relevant query throughput number.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(token_name):
+        name, token = token_name
+        if name.startswith("or_"):
+            idx.top_k_pruned(token, k=10).collect()
+        elif name.startswith("slop"):
+            idx.top_k(token, k=10, slop=2).collect()
+        else:
+            idx.top_k(token, k=10).collect()
+
+    work = [q for q in QUERIES for _ in range(3)]
+    with ThreadPoolExecutor(6) as pool:  # warmup pass
+        list(pool.map(one, work[:len(QUERIES)]))
+    t0 = time.time()
+    with ThreadPoolExecutor(6) as pool:
+        list(pool.map(one, work))
+    sustained_secs = time.time() - t0
     out = {
         "cpus": cpus,
         "build_secs": round(build_secs, 2),
@@ -145,6 +168,8 @@ def worker(cpus: int, n_docs: int, repeat: int = 3):
         "total_query_secs": round(total_q, 3),
         "batch_query_secs": round(batch_best, 3),
         "batch_queries_per_sec": round(len(tokens) / batch_best, 3),
+        "sustained_secs": round(sustained_secs, 3),
+        "sustained_qps": round(len(work) / sustained_secs, 3),
     }
     spark.stop()
     print("WORKER_RESULT " + json.dumps(out))
@@ -184,6 +209,9 @@ def main():
             (small["build_secs"] / large["build_secs"]) / factor, 3),
         "scaling_efficiency_query_batch": round(
             (small["batch_query_secs"] / large["batch_query_secs"]) / factor, 3),
+        "scaling_efficiency_query_sustained": round(
+            (large.get("sustained_qps", 0) / small.get("sustained_qps", 1))
+            / factor, 3),
     }
     with open(out_path, "w") as fh:
         json.dump(result, fh, indent=2)

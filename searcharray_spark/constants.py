@@ -36,8 +36,10 @@ MSB_SHIFT = np.uint64(18)
 MAX_POSN = (1 << 18) - 1  # 262143
 
 # Default documents per doc-id block (Spark partition of the doc axis).
-# Local doc ids within a block must fit in KEY_BITS (28). We keep it well
-# under 2**27 so the packed uint64 never sets bit 63 (int64-safe).
-DEFAULT_DOCS_PER_BLOCK = 1 << 22
+# Local doc ids within a block must fit in KEY_BITS (28). Small enough
+# that one block's full posting data stays well under parquet scan
+# partition size (zero-shuffle phrase path needs whole blocks per scan
+# partition) and the per-block build kernel stays memory-bounded.
+DEFAULT_DOCS_PER_BLOCK = 1 << 16
 
 ADJ_BIT = np.uint64(1) << np.uint64(17)  # top bit of the LSB payload

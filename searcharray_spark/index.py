@@ -214,6 +214,42 @@ class SearchIndex:
         self._postings_df = None
         self._doclens_df = None
         self._df_cache = {}
+        self._aligned = None
+
+    def _files_aligned(self) -> bool:
+        """True when no postings parquet file can be split across scan
+        partitions (every file < spark.sql.files.maxPartitionBytes):
+        then each scan partition holds WHOLE files = whole doc blocks
+        (storage is block-range partitioned), so per-partition kernels
+        see every query term's rows for their blocks and phrase/slop can
+        run with ZERO shuffle. Builds target ~64 MB files for this."""
+        if getattr(self, "_aligned", None) is not None:
+            return self._aligned
+        if int(self.meta.get("format_version", 0)) < 3:
+            # older term-range layouts split a block's terms across
+            # files — per-partition phrase kernels would be wrong
+            self._aligned = False
+            return False
+        raw = self.spark.conf.get("spark.sql.files.maxPartitionBytes",
+                                  "134217728")
+        digits = "".join(ch for ch in raw if ch.isdigit())
+        unit = raw[len(digits):].strip().lower()
+        mult = {"": 1, "b": 1, "k": 1 << 10, "kb": 1 << 10,
+                "m": 1 << 20, "mb": 1 << 20, "g": 1 << 30,
+                "gb": 1 << 30}.get(unit, 1)
+        max_bytes = int(digits or "134217728") * mult
+        roots = [os.path.join(self.path, "postings")]
+        roots += [os.path.join(self.path, "updates", f"seg={s}", "postings")
+                  for s in self._update_segs()]
+        biggest = 0
+        for root in roots:
+            for dirpath, _, files in os.walk(root):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        biggest = max(biggest,
+                                      os.path.getsize(os.path.join(dirpath, f)))
+        self._aligned = biggest < max_bytes
+        return self._aligned
 
     # --- tables -----------------------------------------------------------
     @property
@@ -504,6 +540,11 @@ class SearchIndex:
                 pack_ids, "block_id long, cand binary")
             posts = posts.join(cand_packed, "block_id", "inner")
         single_terms_only = all(len(t) == 1 for t in tokens_b)
+        # phrases/slop need every query term of a doc block co-located:
+        # free when scan partitions hold whole files (= whole blocks);
+        # candidates use the grouped path (their join may re-shuffle)
+        zero_shuffle = single_terms_only or (
+            not has_cand and self._files_aligned())
 
         def _cand_of(pdf: pd.DataFrame):
             return pdf["cand"].iloc[0] if has_cand else None
@@ -511,10 +552,20 @@ class SearchIndex:
         if self.num_docs <= self.DOCLENS_BROADCAST_MAX_DOCS:
             dl_bc = self._doclens_broadcast()
 
-            if single_terms_only:
-                # zero-shuffle path: every posting row is independent
+            if zero_shuffle:
+                # single terms: every posting row is independent — stream
+                # batch by batch. Phrases: concatenate the partition's
+                # batches first so each block's terms sit in one frame
+                # (bounded: only the query terms' rows are in the scan).
+                stream = single_terms_only
+
                 def map_kernel(it):
                     table = dl_bc.value
+                    if not stream:
+                        batches = [pdf for pdf in it if len(pdf)]
+                        if not batches:
+                            return
+                        it = [pd.concat(batches)] if len(batches) > 1 else batches
                     for pdf in it:
                         if len(pdf) == 0:
                             continue

@@ -15,7 +15,7 @@ re-architected for a multi-executor cluster, not ported):
    (df, tf_total, block-max tf for WAND-style pruning).
 4. shuffle-merge: per-(term, block) rows — pre-aggregated per block
    (combiner shape) and CHUNKED to a bounded byte size
-   (``max_words_per_row``) — are range-partitioned by (block_id, term):
+   (``max_words_per_row``) — are range-partitioned by block_id:
    DOCUMENT-partitioned storage. Every file holds a block range with
    the full term mix (uniform bytes, no hot-term write skew), sorted by
    (term, block_id) within the file so parquet row-group min/max stats
@@ -302,7 +302,17 @@ def build_index(
 
     stage = spark.read.parquet(stage_path)
     if term_partitions is None:
-        term_partitions = max(4, spark.sparkContext.defaultParallelism)
+        # target ~64 MB postings files: files smaller than Spark's
+        # maxPartitionBytes are never split across scan partitions, so
+        # every scan partition holds WHOLE doc blocks — the query side
+        # can then run phrase/slop kernels with zero shuffle (see
+        # SearchIndex._files_aligned)
+        stage_bytes = 0
+        for root, _, files in os.walk(stage_path):
+            stage_bytes += sum(os.path.getsize(os.path.join(root, f))
+                               for f in files if f.endswith(".parquet"))
+        term_partitions = max(4, spark.sparkContext.defaultParallelism,
+                              -(-stage_bytes // (64 << 20)))
 
     # --- finalize: four independent jobs over the staged data, submitted
     # concurrently (Spark schedules them together) so the serial tail of
@@ -319,7 +329,7 @@ def build_index(
         stage.filter(F.col("kind") == "p") \
             .select("term", "block_id", "postings", "df", "tf_total",
                     "tf_max", "dl_min") \
-            .repartitionByRange(term_partitions, "block_id", "term") \
+            .repartitionByRange(term_partitions, "block_id") \
             .sortWithinPartitions("term", "block_id") \
             .write.mode("overwrite").parquet(os.path.join(index_path, "postings"))
 
@@ -367,7 +377,8 @@ def build_index(
         stats = stats_fut.result()
 
     meta = {
-        "format_version": 2,
+        # 3 = block-range-partitioned postings (zero-shuffle phrase path)
+        "format_version": 3,
         "tokenizer": tokenizer_name,
         "docs_per_block": docs_per_block,
         "truncate": truncate,

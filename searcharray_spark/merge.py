@@ -122,7 +122,7 @@ def compact_index(spark: SparkSession, index_path: str, out_path: str) -> Search
     n_parts = max(4, spark.sparkContext.defaultParallelism)
     new_posts = idx.postings.groupBy("term", "block_id").applyInPandas(
         rewrite, out_schema)
-    new_posts.repartitionByRange(n_parts, "block_id", "term") \
+    new_posts.repartitionByRange(n_parts, "block_id") \
         .sortWithinPartitions("term", "block_id") \
         .write.mode("overwrite").parquet(os.path.join(out_path, "postings"))
 
@@ -187,7 +187,7 @@ def merge_indexes(spark: SparkSession, index_paths: Sequence[str],
             df = part if df is None else df.unionByName(part)
         return df
 
-    union_of("postings").repartitionByRange(n_parts, "block_id", "term") \
+    union_of("postings").repartitionByRange(n_parts, "block_id") \
         .sortWithinPartitions("term", "block_id") \
         .write.mode("overwrite").parquet(os.path.join(out_path, "postings"))
     # doc ranges need not be block-aligned: a boundary block may appear in
