@@ -75,6 +75,128 @@ def patch_doclens(rows) -> tuple:
     return ids, lens
 
 
+class TermSketch:
+    """Driver-side per-term block metadata, decoded from ONE term_stats
+    row per index segment: block-presence intervals + per-group block-max
+    bounds (tf_max, dl_min). Everything block pruning and WAND bounds
+    need, in O(groups) bytes — never an O(terms x blocks) row collect.
+
+    ``parts`` is one (starts, ends, tf_max, dl_min) tuple per segment
+    source (base + update segs), intervals sorted and non-overlapping
+    within a part; ends exclusive, in BLOCK units (group granularity may
+    differ per segment)."""
+
+    __slots__ = ("df", "parts")
+
+    def __init__(self, df: int, parts):
+        self.df = df
+        self.parts = parts
+
+    def covered(self) -> int:
+        """Upper bound on the number of blocks holding this term."""
+        return int(sum(int((e - s).sum()) for s, e, _, _ in self.parts))
+
+    def expand(self, cap: int) -> Optional[np.ndarray]:
+        """All covered block ids (sorted unique), or None if > cap."""
+        if self.covered() > cap:
+            return None
+        out = []
+        for s, e, _, _ in self.parts:
+            widths = (e - s).astype(np.int64)
+            if widths.sum() == 0:
+                continue
+            # vectorized range expansion: repeat starts, add per-run offsets
+            offs = np.arange(widths.sum(), dtype=np.int64) - np.repeat(
+                np.concatenate(([0], np.cumsum(widths)[:-1])), widths)
+            out.append(np.repeat(s, widths) + offs)
+        if not out:
+            return np.zeros(0, dtype=np.int64)
+        return np.unique(np.concatenate(out))
+
+    def contains(self, blocks: np.ndarray) -> np.ndarray:
+        """Bool mask: block covered by any part's intervals."""
+        mask = np.zeros(len(blocks), dtype=bool)
+        for s, e, _, _ in self.parts:
+            if len(s) == 0:
+                continue
+            idx = np.searchsorted(s, blocks, side="right") - 1
+            ok = idx >= 0
+            mask |= ok & (blocks < e[np.maximum(idx, 0)])
+        return mask
+
+    def bounds_at(self, blocks: np.ndarray):
+        """(tf_max, dl_min) upper/lower bounds per block (caller must
+        restrict to contained blocks; uncontained get (0, 0))."""
+        tf = np.zeros(len(blocks), dtype=np.int64)
+        dl = np.full(len(blocks), np.iinfo(np.int64).max, dtype=np.int64)
+        for s, e, tmx, dmn in self.parts:
+            if len(s) == 0:
+                continue
+            idx = np.searchsorted(s, blocks, side="right") - 1
+            ok = (idx >= 0) & (blocks < e[np.maximum(idx, 0)])
+            i = idx[ok]
+            tf[ok] = np.maximum(tf[ok], tmx[i])
+            dl[ok] = np.minimum(dl[ok], dmn[i])
+        dl[dl == np.iinfo(np.int64).max] = 0
+        return tf, dl
+
+
+# --- side-input doclens (co-partitioned with postings by block range) ----
+
+_DL_FILE_CACHE: "dict[str, dict]" = {}
+_DL_FILE_CACHE_MAX = 64
+
+
+def _load_doclens_file(path: str) -> dict:
+    """Read one doclens parquet file -> {block_id: (ids_bytes, lens_bytes)}.
+    Process-wide cache: python workers are reused across tasks/queries, so
+    each executor decodes a doclens file once, not per task."""
+    hit = _DL_FILE_CACHE.get(path)
+    if hit is not None:
+        return hit
+    import pyarrow.parquet as pq
+    tbl = pq.read_table(path, columns=["block_id", "doc_ids", "doc_lens"])
+    out = {}
+    for b, i, ln in zip(tbl.column("block_id").to_pylist(),
+                        tbl.column("doc_ids").to_pylist(),
+                        tbl.column("doc_lens").to_pylist()):
+        out[int(b)] = (i, ln)
+    if len(_DL_FILE_CACHE) >= _DL_FILE_CACHE_MAX:
+        _DL_FILE_CACHE.pop(next(iter(_DL_FILE_CACHE)))
+    _DL_FILE_CACHE[path] = out
+    return out
+
+
+class DoclensReader:
+    """Executor-side doclens lookup without broadcast or shuffle.
+
+    Doclens files are range-partitioned by block_id exactly like the
+    postings (indexing.py), so a kernel task resolves a block's packed
+    doclens by reading ONLY the file(s) whose footer block range covers
+    it (ranges resolved once on the driver). At 100 TB this reads a few
+    MB per task instead of broadcasting GBs of doclens to every worker.
+    Update segments patch by seg priority, same as the broadcast path.
+    """
+
+    def __init__(self, ranges):
+        # [(seg, path, lo_block, hi_block)], base seg first
+        self.ranges = ranges
+
+    def get(self, block_id: int):
+        rows = []
+        for seg, path, lo, hi in self.ranges:
+            if lo <= block_id <= hi:
+                row = _load_doclens_file(path).get(block_id)
+                if row is not None:
+                    rows.append((seg, row[0], row[1]))
+        if not rows:
+            return None
+        if len(rows) == 1:
+            return rows[0][1], rows[0][2]
+        ids, lens = patch_doclens(rows)
+        return ids.astype("<i8").tobytes(), lens.astype("<f4").tobytes()
+
+
 def _normalize_token(token: TokenArg) -> List[str]:
     if isinstance(token, str):
         return [token]
@@ -104,6 +226,9 @@ class SearchIndex:
         else:
             self.tokenizer = tokenizers.resolve(self.meta["tokenizer"])
         self._df_cache: dict = {}
+        self._sketch_cache: dict = {}
+        self._bounds_cache: dict = {}
+        self._dl_ranges: list | None = None
         self._postings_df: DataFrame | None = None
         self._doclens_df: DataFrame | None = None
 
@@ -214,15 +339,34 @@ class SearchIndex:
         self._postings_df = None
         self._doclens_df = None
         self._df_cache = {}
+        self._sketch_cache = {}
+        self._bounds_cache = {}
+        self._dl_ranges = None
         self._aligned = None
 
+    def _seg_meta(self, seg: int) -> dict:
+        with open(os.path.join(self.path, "updates", f"seg={seg}",
+                               "meta.json")) as fh:
+            return json.load(fh)
+
     def _files_aligned(self) -> bool:
-        """True when no postings parquet file can be split across scan
-        partitions (every file < spark.sql.files.maxPartitionBytes):
-        then each scan partition holds WHOLE files = whole doc blocks
-        (storage is block-range partitioned), so per-partition kernels
-        see every query term's rows for their blocks and phrase/slop can
-        run with ZERO shuffle. Builds target ~64 MB files for this."""
+        """True when every postings parquet file holds EXACTLY ONE row
+        group. A parquet row group is read by the one scan split that
+        contains its byte midpoint, so a single-row-group file's rows
+        always land whole in one scan partition — regardless of
+        spark.sql.files.maxPartitionBytes, openCostInBytes, or cluster
+        parallelism (those only govern how many EMPTY splits surround
+        it; verified empirically and by tests/test_alignment.py, where a
+        multi-row-group file DOES split and the grouped fallback takes
+        over). Combined with the block-range-partitioned layout (a doc
+        block's rows live in exactly one file), every scan partition
+        then holds whole doc blocks, so phrase/slop kernels see all of a
+        block's query-term rows and run with ZERO shuffle.
+
+        Builds pin parquet.block.size at write, verify footers, and
+        record ``postings_single_row_group`` in meta.json; older indexes
+        without the flag are verified here once (footer walk, cached).
+        """
         if getattr(self, "_aligned", None) is not None:
             return self._aligned
         if int(self.meta.get("format_version", 0)) < 3:
@@ -230,25 +374,21 @@ class SearchIndex:
             # files — per-partition phrase kernels would be wrong
             self._aligned = False
             return False
-        raw = self.spark.conf.get("spark.sql.files.maxPartitionBytes",
-                                  "134217728")
-        digits = "".join(ch for ch in raw if ch.isdigit())
-        unit = raw[len(digits):].strip().lower()
-        mult = {"": 1, "b": 1, "k": 1 << 10, "kb": 1 << 10,
-                "m": 1 << 20, "mb": 1 << 20, "g": 1 << 30,
-                "gb": 1 << 30}.get(unit, 1)
-        max_bytes = int(digits or "134217728") * mult
-        roots = [os.path.join(self.path, "postings")]
-        roots += [os.path.join(self.path, "updates", f"seg={s}", "postings")
-                  for s in self._update_segs()]
-        biggest = 0
-        for root in roots:
-            for dirpath, _, files in os.walk(root):
-                for f in files:
-                    if f.endswith(".parquet"):
-                        biggest = max(biggest,
-                                      os.path.getsize(os.path.join(dirpath, f)))
-        self._aligned = biggest < max_bytes
+        from .indexing import verify_single_row_group
+        sources = [(self.meta, os.path.join(self.path, "postings"))]
+        sources += [(self._seg_meta(s),
+                     os.path.join(self.path, "updates", f"seg={s}", "postings"))
+                    for s in self._update_segs()]
+        aligned = True
+        for meta, root in sources:
+            flag = meta.get("postings_single_row_group")
+            if flag is False:
+                aligned = False
+                break
+            if flag is None and not verify_single_row_group(root):
+                aligned = False
+                break
+        self._aligned = aligned
         return self._aligned
 
     # --- tables -----------------------------------------------------------
@@ -321,20 +461,119 @@ class SearchIndex:
     def term_stats(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.path, "term_stats"))
 
+    def _sketches_available(self) -> bool:
+        if getattr(self, "_has_sketches", None) is None:
+            self._has_sketches = "grp_ids" in self.term_stats.columns
+        return self._has_sketches
+
+    def _term_sketches(self, terms: Sequence[str]) -> dict:
+        """Per-term block sketches (presence intervals + block-max bound
+        arrays), fetched once per never-seen term and memoized: ONE tiny
+        job over the term-pruned term_stats scan returns O(terms) rows
+        of O(groups) bytes each — the scale-safe replacement for
+        collecting (term, block) metadata rows per query. Update-segment
+        term_stats union in for presence/bounds; the base df is the one
+        scoring uses (stats stay as-built until compact, documented)."""
+        missing = [t for t in dict.fromkeys(terms)
+                   if t not in self._sketch_cache]
+        if missing:
+            cols = ["term", "df", "grp_ids", "grp_tf_max", "grp_dl_min"]
+            sources = [(int(self.meta.get("bounds_granularity", 1)), True,
+                        self.term_stats)]
+            for s in self._update_segs():
+                ts = self.spark.read.parquet(os.path.join(
+                    self.path, "updates", f"seg={s}", "term_stats"))
+                sources.append(
+                    (int(self._seg_meta(s).get("bounds_granularity", 1)),
+                     False, ts))
+            union = None
+            for g, is_base, ts in sources:
+                part = ts.filter(F.col("term").isin(missing)).select(*cols) \
+                    .withColumn("g", F.lit(g)) \
+                    .withColumn("is_base", F.lit(is_base))
+                union = part if union is None else union.unionByName(part)
+            by_term: dict = {}
+            for r in union.collect():
+                g = int(r["g"])
+                grp = np.frombuffer(r["grp_ids"], dtype="<i4").astype(np.int64)
+                part = (grp * g, grp * g + g,
+                        np.frombuffer(r["grp_tf_max"], dtype="<i4")
+                          .astype(np.int64),
+                        np.frombuffer(r["grp_dl_min"], dtype="<i4")
+                          .astype(np.int64))
+                df_base, parts = by_term.get(r["term"], (0, []))
+                if r["is_base"]:
+                    df_base = int(r["df"])
+                parts.append(part)
+                by_term[r["term"]] = (df_base, parts)
+            for t in missing:
+                if t in by_term:
+                    df_b, parts = by_term[t]
+                    self._sketch_cache[t] = TermSketch(df_b, parts)
+                    self._df_cache.setdefault(t, df_b)
+                else:
+                    self._sketch_cache[t] = None
+                    self._df_cache.setdefault(t, 0)
+        return {t: self._sketch_cache[t] for t in terms}
+
+    def _doclens_file_ranges(self) -> list:
+        """[(seg, file, min_block, max_block)] from parquet footer stats,
+        resolved once per index instance (driver-side, O(files) footer
+        reads) — the block->file map DoclensReader side-input reads use."""
+        if self._dl_ranges is not None:
+            return self._dl_ranges
+        import pyarrow.parquet as pq
+        sources = [(0, os.path.join(self.path, "doclens"))]
+        sources += [(s, os.path.join(self.path, "updates", f"seg={s}", "doclens"))
+                    for s in self._update_segs()]
+        out = []
+        for seg, root in sources:
+            for dirpath, _, files in os.walk(root):
+                for f in sorted(files):
+                    if not f.endswith(".parquet"):
+                        continue
+                    p = os.path.join(dirpath, f)
+                    md = pq.ParquetFile(p).metadata
+                    lo = hi = None
+                    for rg in range(md.num_row_groups):
+                        row_grp = md.row_group(rg)
+                        for ci in range(row_grp.num_columns):
+                            col = row_grp.column(ci)
+                            if col.path_in_schema != "block_id":
+                                continue
+                            st = col.statistics
+                            if st is not None and st.has_min_max:
+                                lo = int(st.min) if lo is None else min(lo, int(st.min))
+                                hi = int(st.max) if hi is None else max(hi, int(st.max))
+                    if lo is None:  # stats disabled: read the tiny column
+                        ids = pq.read_table(p, columns=["block_id"]) \
+                            .column(0).to_pylist()
+                        if not ids:
+                            continue
+                        lo, hi = int(min(ids)), int(max(ids))
+                    out.append((seg, p, lo, hi))
+        self._dl_ranges = out
+        return out
+
     # --- scalar stats -----------------------------------------------------
     def docfreq(self, term: str) -> int:
         return int(self.docfreqs([term])[term])
 
     def docfreqs(self, terms: Iterable[str]) -> dict:
-        """Doc freq per term (missing -> 0); driver-side lookup, cached."""
+        """Doc freq per term (missing -> 0); driver-side lookup, cached.
+        Shares the sketch fetch so a query's df lookup and its block
+        pruning/bounds metadata cost ONE job, not several."""
         terms = list(dict.fromkeys(terms))
         missing = [t for t in terms if t not in self._df_cache]
         if missing:
-            rows = self.term_stats.filter(F.col("term").isin(missing)) \
-                .select("term", "df").collect()
-            found = {r["term"]: int(r["df"]) for r in rows}
-            for t in missing:
-                self._df_cache[t] = found.get(t, 0)
+            if self._sketches_available():
+                self._term_sketches(missing)
+            else:  # pre-v4 term_stats without sketch columns
+                rows = self.term_stats.filter(F.col("term").isin(missing)) \
+                    .select("term", "df").collect()
+                found = {r["term"]: int(r["df"]) for r in rows}
+                for t in missing:
+                    self._df_cache[t] = found.get(t, 0)
         return {t: self._df_cache[t] for t in terms}
 
     def doclengths(self) -> DataFrame:
@@ -370,10 +609,14 @@ class SearchIndex:
             self._dl_bc = self.spark.sparkContext.broadcast(table)
         return self._dl_bc
 
-    # prune doc blocks via term->block metadata when the rarest query
-    # term is at least this much rarer than the corpus (the metadata
-    # lookup is one cheap job; for all-hot queries it prunes nothing)
+    # prune doc blocks via the term sketches when the rarest query term
+    # is at least this much rarer than the corpus (the sketch lookup is
+    # cached driver math; for all-hot queries pruning can't help)
     BLOCK_PRUNE_DF_RATIO = 0.02
+
+    # a token whose rarest term covers more blocks than this gets no
+    # pruning (expansion would cost more than the scan it prunes)
+    PRUNE_EXPAND_CAP = 1 << 16
 
     def _prune_blocks(self, tokens_b: List[List[str]],
                       block_ids: Optional[Sequence[int]]) -> Optional[List[int]]:
@@ -381,20 +624,32 @@ class SearchIndex:
         (for a phrase: blocks containing ALL its terms; for a term: its
         blocks). Distributed analogue of the reference's rare-first
         posting trim at the partition level — hot terms' posting rows in
-        blocks lacking the rare term never leave the scan."""
+        blocks lacking the rare term never leave the scan.
+
+        Pure driver math over the cached per-term sketches (the rarest
+        term's covered blocks expand and membership-test against the
+        other terms' presence intervals) — no postings scan, no
+        O(terms x blocks) collect. Returns None when pruning can't help
+        (sketches unavailable, or a token's rarest term covers more
+        than PRUNE_EXPAND_CAP blocks)."""
+        if not self._sketches_available():
+            return None
         all_terms = sorted({t for tok in tokens_b for t in tok})
-        rows = self.postings.filter(F.col("term").isin(all_terms)) \
-            .select("term", "block_id").distinct().collect()
-        by_term: dict = {}
-        for r in rows:
-            by_term.setdefault(r["term"], set()).add(int(r["block_id"]))
+        sketches = self._term_sketches(all_terms)
         needed: set = set()
         for tok in tokens_b:
-            tok_blocks = None
-            for t in tok:
-                blks = by_term.get(t, set())
-                tok_blocks = blks if tok_blocks is None else tok_blocks & blks
-            needed |= tok_blocks or set()
+            sks = [sketches[t] for t in tok]
+            if any(s is None for s in sks):
+                continue  # a term absent from the corpus: token matches nothing
+            rare = min(sks, key=lambda s: s.covered())
+            blocks = rare.expand(self.PRUNE_EXPAND_CAP)
+            if blocks is None:
+                return None
+            mask = np.ones(len(blocks), dtype=bool)
+            for s in sks:
+                if s is not rare:
+                    mask &= s.contains(blocks)
+            needed.update(int(b) for b in blocks[mask])
         if block_ids is not None:
             needed &= {int(b) for b in block_ids}
         return sorted(needed)
@@ -439,9 +694,11 @@ class SearchIndex:
         has_phrase = any(len(t) > 1 for t in tokens_b)
         min_df = min(dfs.values()) if dfs else 0
         if has_phrase and min_df <= num_docs * self.BLOCK_PRUNE_DF_RATIO:
-            block_ids = self._prune_blocks(tokens_b, block_ids)
-            if not block_ids:
-                return self.spark.createDataFrame([], HITS_SCHEMA)
+            pruned = self._prune_blocks(tokens_b, block_ids)
+            if pruned is not None:
+                block_ids = pruned
+                if not block_ids:
+                    return self.spark.createDataFrame([], HITS_SCHEMA)
 
         def empty_out() -> pd.DataFrame:
             return pd.DataFrame(
@@ -549,66 +806,62 @@ class SearchIndex:
         def _cand_of(pdf: pd.DataFrame):
             return pdf["cand"].iloc[0] if has_cand else None
 
+        # doclens access: broadcast the packed table for small corpora
+        # (fastest for repeated queries); beyond the cap, kernels
+        # side-input-read the co-partitioned doclens file(s) covering
+        # their blocks (DoclensReader) — no broadcast, no doclens
+        # shuffle, at ANY corpus size. Either way the plan has no
+        # doclens-side exchange.
         if self.num_docs <= self.DOCLENS_BROADCAST_MAX_DOCS:
             dl_bc = self._doclens_broadcast()
 
-            if zero_shuffle:
-                # single terms: every posting row is independent — stream
-                # batch by batch. Phrases: concatenate the partition's
-                # batches first so each block's terms sit in one frame
-                # (bounded: only the query terms' rows are in the scan).
-                stream = single_terms_only
+            def make_dl_get():
+                return dl_bc.value.get
+        else:
+            reader = DoclensReader(self._doclens_file_ranges())
 
-                def map_kernel(it):
-                    table = dl_bc.value
-                    if not stream:
-                        batches = [pdf for pdf in it if len(pdf)]
-                        if not batches:
-                            return
-                        it = [pd.concat(batches)] if len(batches) > 1 else batches
-                    for pdf in it:
-                        if len(pdf) == 0:
+            def make_dl_get():
+                return reader.get
+
+        if zero_shuffle:
+            # single terms: every posting row is independent — stream
+            # batch by batch. Phrases: concatenate the partition's
+            # batches first so each block's terms sit in one frame
+            # (bounded: only the query terms' rows are in the scan).
+            stream = single_terms_only
+
+            def map_kernel(it):
+                dl_get = make_dl_get()
+                if not stream:
+                    batches = [pdf for pdf in it if len(pdf)]
+                    if not batches:
+                        return
+                    it = [pd.concat(batches)] if len(batches) > 1 else batches
+                for pdf in it:
+                    if len(pdf) == 0:
+                        continue
+                    for block_id, grp in pdf.groupby("block_id"):
+                        dl_raw = dl_get(int(block_id))
+                        if dl_raw is None:
                             continue
-                        for block_id, grp in pdf.groupby("block_id"):
-                            dl_raw = table.get(int(block_id))
-                            if dl_raw is None:
-                                continue
-                            yield score_block(int(block_id),
-                                              merge_packed(grp, block_id),
-                                              dl_raw, _cand_of(grp))
+                        yield score_block(int(block_id),
+                                          merge_packed(grp, block_id),
+                                          dl_raw, _cand_of(grp))
 
-                cols = ["term", "block_id", "postings", "seg"] \
-                    + (["cand"] if has_cand else [])
-                return posts.select(*cols) \
-                    .mapInPandas(map_kernel, HITS_SCHEMA)
+            cols = ["term", "block_id", "postings", "seg"] \
+                + (["cand"] if has_cand else [])
+            return posts.select(*cols) \
+                .mapInPandas(map_kernel, HITS_SCHEMA)
 
-            def grouped_kernel(key, left: pd.DataFrame) -> pd.DataFrame:
-                dl_raw = dl_bc.value.get(int(key[0]))
-                if dl_raw is None or len(left) == 0:
-                    return empty_out()
-                return score_block(int(key[0]), merge_packed(left, key[0]),
-                                   dl_raw, _cand_of(left))
-
-            return posts.groupBy("block_id").applyInPandas(
-                grouped_kernel, HITS_SCHEMA)
-
-        def cogroup_kernel(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-            if len(left) == 0 or len(right) == 0:
+        def grouped_kernel(key, left: pd.DataFrame) -> pd.DataFrame:
+            dl_raw = make_dl_get()(int(key[0]))
+            if dl_raw is None or len(left) == 0:
                 return empty_out()
-            if len(right) == 1:
-                dl_raw = (right["doc_ids"].iloc[0], right["doc_lens"].iloc[0])
-            else:  # update segments: later seg overrides a doc's length
-                ids, lens = patch_doclens(list(zip(
-                    right["seg"] if "seg" in right else [0] * len(right),
-                    right["doc_ids"], right["doc_lens"])))
-                dl_raw = (ids.astype("<i8").tobytes(),
-                          lens.astype("<f4").tobytes())
             return score_block(int(key[0]), merge_packed(left, key[0]),
                                dl_raw, _cand_of(left))
 
-        return posts.groupBy("block_id").cogroup(
-            self.doclens.groupBy("block_id")
-        ).applyInPandas(cogroup_kernel, HITS_SCHEMA)
+        return posts.groupBy("block_id").applyInPandas(
+            grouped_kernel, HITS_SCHEMA)
 
     # --- public API -------------------------------------------------------
     def termfreqs(self, token: TokenArg, min_posn: Optional[int] = None,
@@ -658,47 +911,69 @@ class SearchIndex:
     # a few ulps to never prune a block holding a true top-k doc
     _WAND_EPS = 1e-5
 
-    def _block_bounds(self, tokens: List[List[str]]) -> dict:
-        """Per-block score upper bound for an OR query over ``tokens``.
+    # a query whose candidate block set exceeds this gets no WAND
+    # pruning (the bounds bookkeeping would cost more than the one
+    # exhaustive job it replaces)
+    WAND_EXPAND_CAP = 1 << 16
 
-        Uses the per-(term, block) block-max metadata written at index
-        time (``tf_max``, ``dl_min``): BM25 is monotone increasing in tf
-        and decreasing in dl, so
-            ub(term, block) = idf * tf_max / (tf_max + k1*(1-b+b*dl_min/avgdl))
+    def _block_bounds(self, tokens: List[List[str]], sim_fn,
+                      cache_key=None) -> Optional[dict]:
+        """Per-block score upper bound for an OR query over ``tokens``,
+        computed from the cached per-term sketches (pure driver math —
+        no postings scan, no O(terms x blocks) collect).
+
+        The similarity must be monotone increasing in tf and decreasing
+        in dl (all built-ins are; callers gate on ``monotone_bounds``):
+            ub(term, block) = sim(tf_max, dl_min)
         bounds every doc's term contribution in the block; the block
         bound is the sum over query tokens (MaxScore/block-max-WAND
         bound). A phrase token's bound uses min(tf_max) over its
         constituent terms (phrase freq <= every constituent tf) with the
         summed-df idf the scorer uses (reference postings.py:652-680).
+        Group-granular sketches only loosen bounds, never unsound.
+
+        Returns None when bounds are unavailable (no sketches) or when a
+        token's candidate block set exceeds WAND_EXPAND_CAP — callers
+        fall back to exhaustive scoring, which stays rank-identical.
         """
+        if not self._sketches_available():
+            return None
+        if cache_key is not None and cache_key in self._bounds_cache:
+            return self._bounds_cache[cache_key]
         all_terms = sorted({t for tok in tokens for t in tok})
-        meta = self.postings.filter(F.col("term").isin(all_terms)) \
-            .groupBy("term", "block_id").agg(F.max("tf_max").alias("tf_max"),
-                                             F.min("dl_min").alias("dl_min")) \
-            .collect()
-        per_term: dict = {}
-        for r in meta:
-            per_term.setdefault(r["term"], {})[int(r["block_id"])] = (
-                float(r["tf_max"]), float(r["dl_min"] if r["dl_min"] is not None
-                                           else r["tf_max"]))
+        sketches = self._term_sketches(all_terms)
         dfs = self.docfreqs(all_terms)
-        sim = sim_mod.bm25_similarity()
         bounds: dict = {}
         for tok in tokens:
-            tok_blocks = None
-            for t in tok:  # a phrase needs every term in the block
-                blks = set(per_term.get(t, {}))
-                tok_blocks = blks if tok_blocks is None else tok_blocks & blks
-            if not tok_blocks:
+            sks = [sketches[t] for t in tok]
+            if any(s is None for s in sks):
+                continue
+            rare = min(sks, key=lambda s: s.covered())
+            blocks = rare.expand(self.WAND_EXPAND_CAP)
+            if blocks is None:
+                return None
+            mask = np.ones(len(blocks), dtype=bool)
+            tf_m = np.full(len(blocks), np.iinfo(np.int64).max, dtype=np.int64)
+            dl_m = np.full(len(blocks), np.iinfo(np.int64).max, dtype=np.int64)
+            for s in sks:  # a phrase needs every term in the block
+                if s is not rare:
+                    mask &= s.contains(blocks)
+                tf, dl = s.bounds_at(blocks)
+                tf_m = np.minimum(tf_m, tf)
+                dl_m = np.minimum(dl_m, dl)
+            blocks, tf_m, dl_m = blocks[mask], tf_m[mask], dl_m[mask]
+            if not len(blocks):
                 continue
             tok_dfs = np.asarray([dfs[t] for t in tok], dtype=np.float32)
-            for b in tok_blocks:
-                tf_m = min(per_term[t][b][0] for t in tok)
-                dl_m = min(per_term[t][b][1] for t in tok)
-                ub = float(sim(np.asarray([tf_m], dtype=np.float32), tok_dfs,
-                               np.asarray([dl_m], dtype=np.float32),
-                               self.avg_doc_len, self.num_docs)[0])
-                bounds[b] = bounds.get(b, 0.0) + ub * (1.0 + self._WAND_EPS)
+            ubs = np.asarray(
+                sim_fn(tf_m.astype(np.float32), tok_dfs,
+                       dl_m.astype(np.float32), self.avg_doc_len,
+                       self.num_docs),
+                dtype=np.float64) * (1.0 + self._WAND_EPS)
+            for b, ub in zip(blocks.tolist(), ubs.tolist()):
+                bounds[b] = bounds.get(b, 0.0) + ub
+        if cache_key is not None:
+            self._bounds_cache[cache_key] = bounds
         return bounds
 
     def top_k_pruned(self, tokens: Union[TokenArg, Sequence[TokenArg]],
@@ -713,6 +988,11 @@ class SearchIndex:
         are held, theta = kth score and every remaining block with
         bound < theta is skipped. Each chunk is one Spark job over a
         partition-pruned postings scan; only top-k rows return.
+
+        Pruning is sound only for similarities monotone increasing in tf
+        and decreasing in dl; a custom callable without the
+        ``monotone_bounds`` flag (set it yourself if yours qualifies) is
+        scored exhaustively instead — same ranks, no unsound skips.
         """
         if isinstance(tokens, str):
             tokens_list = [[tokens]]
@@ -723,7 +1003,23 @@ class SearchIndex:
                 tokens_list = [[t] for t in seq]
             else:
                 tokens_list = [_normalize_token(t) for t in seq]
-        bounds = self._block_bounds(tokens_list)
+        sim_fn = sim_mod.resolve(similarity)
+        cache_key = (tuple(tuple(t) for t in tokens_list),
+                     similarity if (similarity is None
+                                    or isinstance(similarity, str))
+                     else id(similarity))
+        bounds = None
+        if getattr(sim_fn, "monotone_bounds", False):
+            bounds = self._block_bounds(tokens_list, sim_fn,
+                                        cache_key=cache_key)
+        if bounds is None:
+            hits = self._hits(tokens_list, similarity=similarity)
+            out = hits.groupBy("doc_id").agg(F.sum("score").alias("score")) \
+                .orderBy(F.desc("score"), F.asc("doc_id")).limit(k) \
+                .select("doc_id", F.col("score").cast("float"))
+            out._wand_blocks_scanned = -1  # exhaustive: no pruning ran
+            out._wand_blocks_total = -1
+            return out
         if not bounds:
             return self.spark.createDataFrame([], "doc_id long, score float")
         blocks = sorted(((b, ub) for b, ub in bounds.items()),

@@ -29,8 +29,24 @@ re-architected for a multi-executor cluster, not ported):
 
 Index layout on disk (parquet):
   postings/   term, block_id, postings(binary u64-LE), df, tf_total, tf_max
+              — ONE parquet row group per file (verified at write): a row
+              group is the atomic unit Spark's parquet scan assigns to a
+              scan partition (row groups go to the split containing their
+              midpoint), so single-row-group files are NEVER split across
+              partitions regardless of maxPartitionBytes/parallelism.
+              That is the invariant the zero-shuffle phrase path rests on
+              (SearchIndex._files_aligned).
   doclens/    block_id, doc_ids(binary i64-LE), doc_lens(binary f32-LE)
-  term_stats/ term, df, tf_total, n_blocks   (global, small)
+              — range-partitioned by block_id like postings, so the query
+              kernel side-input-reads only its blocks' doclens files
+              (no broadcast, no shuffle, at any corpus size).
+  term_stats/ term, df, tf_total, n_blocks, grp_ids/grp_tf_max/grp_dl_min
+              (binary i32-LE arrays over block GROUPS of
+              ``bounds_granularity`` blocks) — the per-term block-presence
+              + block-max bound sketch. Query-time block pruning and
+              WAND bounds are driver lookups of the query terms' rows
+              (O(terms) rows, O(terms * groups) bytes), never an
+              O(terms x blocks) row collect.
   meta.json   tokenizer, docs_per_block, num_docs, avg_doc_len, ...
 (per-doc docstats are derived lazily from doclens — see SearchIndex)
 """
@@ -52,6 +68,108 @@ from pyspark.sql.types import (
 from . import kernels as K
 from . import tokenizers
 from .constants import DEFAULT_DOCS_PER_BLOCK, MAX_POSN
+
+# Parquet writer row-group target for postings/doclens files: far above
+# the ~64 MB file target, so every file flushes exactly ONE row group
+# (parquet.block.size counts UNCOMPRESSED bytes; 2 GiB covers any
+# compression ratio of a 64 MB file). Single-row-group files are the
+# soundness basis of the zero-shuffle phrase path — see module docstring.
+PARQUET_ROW_GROUP_BYTES = 2 << 30
+
+# per-term bound sketches aggregate blocks into groups of this many
+# blocks when the corpus has more than MAX_BOUND_GROUPS blocks, keeping
+# the sketch O(64Ki) entries per term at any scale (bounds get coarser,
+# never wrong: group tf_max = max, dl_min = min over its blocks)
+MAX_BOUND_GROUPS = 1 << 16
+
+TERM_STATS_SCHEMA = StructType([
+    StructField("term", StringType()),
+    StructField("df", LongType()),
+    StructField("tf_total", LongType()),
+    StructField("n_blocks", LongType()),
+    StructField("grp_ids", BinaryType()),     # i32-LE sorted group ids
+    StructField("grp_tf_max", BinaryType()),  # i32-LE per-group max tf
+    StructField("grp_dl_min", BinaryType()),  # i32-LE per-group min doc len
+])
+
+
+def verify_single_row_group(path: str) -> bool:
+    """True iff every parquet file under ``path`` holds <= 1 row group.
+
+    Driver-side footer walk (bytes read: only footers). Builds record the
+    result in meta.json so serving never re-walks; at cluster scale this
+    runs once per build on the driver.
+    """
+    import pyarrow.parquet as pq
+    for dirpath, _, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                meta = pq.ParquetFile(os.path.join(dirpath, f)).metadata
+                if meta.num_row_groups > 1:
+                    return False
+    return True
+
+
+def write_postings_table(df: DataFrame, path: str, n_partitions: int) -> bool:
+    """Write a postings DataFrame in the document-partitioned layout.
+
+    Range-partitioned by block_id (hot terms spread across every file),
+    term-sorted within files (parquet row-group/page min-max stats prune
+    pushed term filters), ONE row group per file (atomic scan-partition
+    assignment). Returns the verified single-row-group flag for meta.
+    """
+    df.repartitionByRange(n_partitions, "block_id") \
+        .sortWithinPartitions("term", "block_id") \
+        .write.mode("overwrite") \
+        .option("parquet.block.size", str(PARQUET_ROW_GROUP_BYTES)) \
+        .parquet(path)
+    return verify_single_row_group(path)
+
+
+def bounds_granularity(n_blocks_total: int) -> int:
+    """Blocks per bound-sketch group (1 until ~64Ki blocks)."""
+    return max(1, -(-int(n_blocks_total) // MAX_BOUND_GROUPS))
+
+
+def write_term_stats(stage_p: DataFrame, path: str, n_partitions: int,
+                     granularity: int) -> None:
+    """Aggregate per-(term, block) stage rows into per-term sketch rows.
+
+    Two-phase: partial agg by (term, group) — map-side combinable, so a
+    hot term's rows collapse before the per-term gather — then one
+    ``applyInPandas`` per term packs the group arrays. The hot-term
+    gather task sees at most MAX_BOUND_GROUPS rows by construction.
+    """
+    agg = stage_p.groupBy(
+        "term", (F.floor(F.col("block_id") / F.lit(granularity))).alias("grp")
+    ).agg(
+        F.sum("df").alias("df"),
+        F.sum("tf_total").alias("tf_total"),
+        F.max("tf_max").alias("tf_max"),
+        F.min("dl_min").alias("dl_min"),
+        F.countDistinct("block_id").alias("n_blocks"),
+    )
+
+    def gather(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        grp = pdf["grp"].to_numpy(dtype=np.int64)
+        order = np.argsort(grp)
+        return pd.DataFrame({
+            "term": [key[0]],
+            "df": [int(pdf["df"].sum())],
+            "tf_total": [int(pdf["tf_total"].sum())],
+            "n_blocks": [int(pdf["n_blocks"].sum())],
+            "grp_ids": [grp[order].astype("<i4").tobytes()],
+            "grp_tf_max": [pdf["tf_max"].to_numpy(dtype=np.int64)[order]
+                           .astype("<i4").tobytes()],
+            "grp_dl_min": [pdf["dl_min"].to_numpy(dtype=np.int64)[order]
+                           .astype("<i4").tobytes()],
+        })
+
+    agg.groupBy("term").applyInPandas(gather, TERM_STATS_SCHEMA) \
+        .repartitionByRange(max(1, n_partitions), "term") \
+        .sortWithinPartitions("term") \
+        .write.mode("overwrite").parquet(path)
+
 
 STAGE_SCHEMA = StructType([
     StructField("block_id", LongType()),
@@ -317,6 +435,9 @@ def build_index(
     # --- finalize: four independent jobs over the staged data, submitted
     # concurrently (Spark schedules them together) so the serial tail of
     # the build is one round, not four ---
+    granularity = bounds_granularity(n_blocks)
+    srg_flag = {}
+
     def _write_postings():
         # DOCUMENT-partitioned layout (block ranges), term-sorted within
         # each file: a hot term's rows spread across EVERY file, so a
@@ -326,26 +447,31 @@ def build_index(
         # stats tight so pushed term filters still skip almost all data.
         # Bytes are uniform per partition by construction (every block
         # range holds the same term mix) — no hot-term write skew.
-        stage.filter(F.col("kind") == "p") \
-            .select("term", "block_id", "postings", "df", "tf_total",
-                    "tf_max", "dl_min") \
-            .repartitionByRange(term_partitions, "block_id") \
-            .sortWithinPartitions("term", "block_id") \
-            .write.mode("overwrite").parquet(os.path.join(index_path, "postings"))
+        # ONE row group per file (verified) => a file's rows always land
+        # whole in one scan partition: the zero-shuffle phrase invariant.
+        srg_flag["postings"] = write_postings_table(
+            stage.filter(F.col("kind") == "p")
+                 .select("term", "block_id", "postings", "df", "tf_total",
+                         "tf_max", "dl_min"),
+            os.path.join(index_path, "postings"), term_partitions)
 
     def _write_doclens():
+        # same block-range partitioning as postings: the query kernel
+        # locates a block's doclens by file block-range (footer stats)
+        # and side-input-reads just that file — no broadcast above the
+        # small-corpus cap, no per-query doclens shuffle, ever
         stage.filter(F.col("kind") == "d") \
             .select("block_id", "doc_ids", "doc_lens") \
-            .write.mode("overwrite").parquet(os.path.join(index_path, "doclens"))
+            .repartitionByRange(term_partitions, "block_id") \
+            .sortWithinPartitions("block_id") \
+            .write.mode("overwrite") \
+            .option("parquet.block.size", str(PARQUET_ROW_GROUP_BYTES)) \
+            .parquet(os.path.join(index_path, "doclens"))
 
     def _write_term_stats():
-        stage.filter(F.col("kind") == "p").groupBy("term").agg(
-            F.sum("df").alias("df"),
-            F.sum("tf_total").alias("tf_total"),
-            F.count("*").alias("n_blocks"),
-        ).repartitionByRange(max(1, term_partitions // 4), "term") \
-            .sortWithinPartitions("term") \
-            .write.mode("overwrite").parquet(os.path.join(index_path, "term_stats"))
+        write_term_stats(stage.filter(F.col("kind") == "p"),
+                         os.path.join(index_path, "term_stats"),
+                         max(1, term_partitions // 4), granularity)
 
     stats_schema = StructType([
         StructField("n", LongType()), StructField("s", FloatType()),
@@ -378,13 +504,17 @@ def build_index(
 
     meta = {
         # 3 = block-range-partitioned postings (zero-shuffle phrase path)
-        "format_version": 3,
+        # 4 = + verified single-row-group postings files (sound alignment
+        #     predicate), per-term bound sketches, side-input doclens
+        "format_version": 4,
         "tokenizer": tokenizer_name,
         "docs_per_block": docs_per_block,
         "truncate": truncate,
         "num_docs": stats["num_docs"],
         "avg_doc_len": stats["avg_doc_len"] or 0.0,
         "total_tokens": stats["total_tokens"] or 0.0,
+        "bounds_granularity": granularity,
+        "postings_single_row_group": bool(srg_flag.get("postings", False)),
         "build_secs": round(time.time() - t_start, 3),
     }
     with open(os.path.join(index_path, "meta.json"), "w") as fh:

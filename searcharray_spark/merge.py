@@ -119,34 +119,41 @@ def compact_index(spark: SparkSession, index_path: str, out_path: str) -> Search
             "dl_min": [int(dls.min())],
         })
 
+    from .indexing import (PARQUET_ROW_GROUP_BYTES, bounds_granularity,
+                           write_postings_table, write_term_stats)
+
     n_parts = max(4, spark.sparkContext.defaultParallelism)
     new_posts = idx.postings.groupBy("term", "block_id").applyInPandas(
         rewrite, out_schema)
-    new_posts.repartitionByRange(n_parts, "block_id") \
-        .sortWithinPartitions("term", "block_id") \
-        .write.mode("overwrite").parquet(os.path.join(out_path, "postings"))
+    srg = write_postings_table(new_posts, os.path.join(out_path, "postings"),
+                               n_parts)
 
     dl_out = spark.createDataFrame(
         [(b, i.astype("<i8").tobytes(), ln.astype("<f4").tobytes())
          for b, (i, ln) in sorted(final_dl.items())],
         "block_id long, doc_ids binary, doc_lens binary")
-    dl_out.write.mode("overwrite").parquet(os.path.join(out_path, "doclens"))
+    dl_out.repartitionByRange(n_parts, "block_id") \
+        .sortWithinPartitions("block_id") \
+        .write.mode("overwrite") \
+        .option("parquet.block.size", str(PARQUET_ROW_GROUP_BYTES)) \
+        .parquet(os.path.join(out_path, "doclens"))
 
-    spark.read.parquet(os.path.join(out_path, "postings")) \
-        .groupBy("term").agg(F.sum("df").alias("df"),
-                             F.sum("tf_total").alias("tf_total"),
-                             F.count("*").alias("n_blocks")) \
-        .repartitionByRange(max(1, n_parts // 4), "term") \
-        .sortWithinPartitions("term") \
-        .write.mode("overwrite").parquet(os.path.join(out_path, "term_stats"))
+    n_blocks = (max(final_dl) + 1) if final_dl else 1
+    granularity = bounds_granularity(n_blocks)
+    write_term_stats(spark.read.parquet(os.path.join(out_path, "postings")),
+                     os.path.join(out_path, "term_stats"),
+                     max(1, n_parts // 4), granularity)
 
     num_docs = int(sum(len(i) for i, _ in final_dl.values()))
     total_tokens = float(sum(ln.sum() for _, ln in final_dl.values()))
     meta = dict(idx.meta)
     meta.update({
+        "format_version": 4,
         "num_docs": num_docs,
         "total_tokens": total_tokens,
         "avg_doc_len": (total_tokens / num_docs) if num_docs else 0.0,
+        "bounds_granularity": granularity,
+        "postings_single_row_group": bool(srg),
         "compacted_from": index_path,
     })
     with open(os.path.join(out_path, "meta.json"), "w") as fh:
@@ -177,6 +184,9 @@ def merge_indexes(spark: SparkSession, index_paths: Sequence[str],
     if len(tokenizers_) != 1 or len(dpbs) != 1:
         raise ValueError("indexes disagree on tokenizer or docs_per_block")
 
+    from .indexing import (PARQUET_ROW_GROUP_BYTES, bounds_granularity,
+                           write_postings_table, write_term_stats)
+
     os.makedirs(out_path, exist_ok=True)
     n_parts = max(4, spark.sparkContext.defaultParallelism)
 
@@ -187,9 +197,8 @@ def merge_indexes(spark: SparkSession, index_paths: Sequence[str],
             df = part if df is None else df.unionByName(part)
         return df
 
-    union_of("postings").repartitionByRange(n_parts, "block_id") \
-        .sortWithinPartitions("term", "block_id") \
-        .write.mode("overwrite").parquet(os.path.join(out_path, "postings"))
+    srg = write_postings_table(union_of("postings"),
+                               os.path.join(out_path, "postings"), n_parts)
     # doc ranges need not be block-aligned: a boundary block may appear in
     # two segments — coalesce its doclens rows (and verify the doc ids are
     # actually disjoint). (Posting rows for a shared (term, block) are
@@ -221,14 +230,20 @@ def merge_indexes(spark: SparkSession, index_paths: Sequence[str],
 
     union_of("doclens").groupBy("block_id").applyInPandas(
         _coalesce, "block_id long, doc_ids binary, doc_lens binary") \
-        .write.mode("overwrite").parquet(os.path.join(out_path, "doclens"))
-    union_of("term_stats").groupBy("term").agg(
-        F.sum("df").alias("df"),
-        F.sum("tf_total").alias("tf_total"),
-        F.sum("n_blocks").alias("n_blocks"),
-    ).repartitionByRange(max(1, n_parts // 4), "term") \
-        .sortWithinPartitions("term") \
-        .write.mode("overwrite").parquet(os.path.join(out_path, "term_stats"))
+        .repartitionByRange(n_parts, "block_id") \
+        .sortWithinPartitions("block_id") \
+        .write.mode("overwrite") \
+        .option("parquet.block.size", str(PARQUET_ROW_GROUP_BYTES)) \
+        .parquet(os.path.join(out_path, "doclens"))
+    # recompute the per-term sketches from the merged postings metadata
+    # (input sketches can't just union: granularities and group bounds
+    # differ per input; one pass over the small per-(term, block)
+    # columns rebuilds them exactly)
+    merged_posts = spark.read.parquet(os.path.join(out_path, "postings"))
+    max_block = merged_posts.agg(F.max("block_id")).collect()[0][0]
+    granularity = bounds_granularity(int(max_block or 0) + 1)
+    write_term_stats(merged_posts, os.path.join(out_path, "term_stats"),
+                     max(1, n_parts // 4), granularity)
 
     if allow_overlap:
         # shared docs mean input counts double-count: recount from the
@@ -244,9 +259,12 @@ def merge_indexes(spark: SparkSession, index_paths: Sequence[str],
         total_tokens = sum(m["total_tokens"] for m in metas)
     meta = dict(metas[0])
     meta.update({
+        "format_version": 4,
         "num_docs": num_docs,
         "total_tokens": total_tokens,
         "avg_doc_len": (total_tokens / num_docs) if num_docs else 0.0,
+        "bounds_granularity": granularity,
+        "postings_single_row_group": bool(srg),
         "merged_from": list(index_paths),
     })
     with open(os.path.join(out_path, "meta.json"), "w") as fh:

@@ -49,6 +49,9 @@ def bm25_similarity(k1: float = 1.2, b: float = 0.75) -> Similarity:
         avgdl = np.float32(avg_doc_lens)
         return (tf / (tf + (k1_f * (one_minus_b + (b_f * (dl / avgdl)))))) * idf
 
+    # monotone increasing in tf, decreasing in dl: block-max WAND bounds
+    # from (tf_max, dl_min) are sound (SearchIndex._block_bounds)
+    bm25.monotone_bounds = True
     return bm25
 
 
@@ -66,6 +69,7 @@ def bm25_impact(k1: float = 1.2, b: float = 0.75) -> Similarity:
         avgdl = np.float32(avg_doc_lens)
         return tf / (tf + (k1_f * (one_minus_b + (b_f * (dl / avgdl)))))
 
+    impact.monotone_bounds = True
     return impact
 
 
@@ -85,6 +89,7 @@ def bm25_legacy_similarity(k1: float = 1.2, b: float = 0.75) -> Similarity:
         tf_part = (tf * (k1_f + 1)) / (tf + (k1_f * (one_minus_b + (b_f * (dl / avgdl)))))
         return idf * tf_part
 
+    bm25.monotone_bounds = True
     return bm25
 
 
@@ -99,6 +104,7 @@ def classic_similarity() -> Similarity:
         length_norm = np.float32(1.0) / np.sqrt(dl, where=dl > 0, out=np.ones_like(dl))
         return np.float32(idf) * np.sqrt(tf) * length_norm
 
+    classic.monotone_bounds = True
     return classic
 
 
