@@ -224,6 +224,39 @@ def slice_posn_window(packed: np.ndarray, min_posn: Optional[int], max_posn: Opt
     return packed[mask]
 
 
+def intersect_nearby_headers(encoded: List[np.ndarray],
+                             window_blocks: int) -> List[np.ndarray]:
+    """Keep only posting words whose (doc, posn-block) composite lies
+    within ``window_blocks`` posn blocks of some word in EVERY other
+    array — the posn-block analogue of the reference's header +-1
+    pre-intersection for sloppy spans
+    (/root/reference/searcharray/phrase/spans.py:71-123, semantics only).
+
+    With ``window_blocks = max_width // 18 + 1`` a dropped word's
+    positions are > max_width from every other term's positions (block
+    distance > window_blocks implies position distance >= 18 *
+    window_blocks + 1 > max_width), so no position that could sit inside
+    a valid span window is ever dropped — hot-term positions far from
+    any rare-term occurrence never get decoded.
+    """
+    if len(encoded) < 2:
+        return encoded
+    comps = [(e >> MSB_SHIFT).astype(np.int64) for e in encoded]
+    w = np.int64(window_blocks)
+    out = []
+    for i, e in enumerate(encoded):
+        ci = comps[i]
+        keep = np.ones(len(e), dtype=bool)
+        for j, cj in enumerate(comps):
+            if j == i or len(cj) == 0 or not keep.any():
+                continue
+            lo = np.searchsorted(cj, ci - w, side="left")
+            hi = np.searchsorted(cj, ci + w, side="right")
+            keep &= hi > lo
+        out.append(e[keep])
+    return out
+
+
 # ---------------------------------------------------------------------------
 # bigram / phrase matching
 # ---------------------------------------------------------------------------

@@ -96,6 +96,11 @@ def span_freqs(encoded: List[np.ndarray], slop: int) -> Tuple[np.ndarray, np.nda
     if max_width >= int(_STRIDE) - MAX_POSN:  # pragma: no cover - absurd slop
         raise ValueError("slop too large for composite-position layout")
 
+    # rare-first trim (reference trim_phrase_search): hot terms' words in
+    # docs the rarest term never touches are dropped before anything
+    # else — cuts candidate/tf work from O(hot) to O(rare)
+    uniq = K.trim_to_rarest(uniq)
+
     # --- candidate docs: in every term's postings with enough positions
     cand = None
     for i, u in enumerate(uniq):
@@ -105,11 +110,22 @@ def span_freqs(encoded: List[np.ndarray], slop: int) -> Tuple[np.ndarray, np.nda
         if len(cand) == 0:
             return _EMPTY_I64, _EMPTY_I64
 
+    # --- posn-block pre-intersection (reference _intersect_all, header
+    # +-1): hot-term words more than max_width positions from every
+    # other term's words can never sit in a valid window — drop them
+    # BEFORE decoding, so position decode volume is O(candidate windows),
+    # not O(hot-term corpus positions)
+    sliced_all = [K.slice_keys(u, cand) for u in uniq]
+    if n_terms > 1:
+        sliced_all = K.intersect_nearby_headers(sliced_all,
+                                                max_width // 18 + 1)
+        if any(len(s) == 0 for s in sliced_all):
+            return _EMPTY_I64, _EMPTY_I64
+
     # --- flatten candidates' positions into one composite event array
     cpos_parts: List[np.ndarray] = []
     term_parts: List[np.ndarray] = []
-    for i, u in enumerate(uniq):
-        sliced = K.slice_keys(u, cand)
+    for i, sliced in enumerate(sliced_all):
         ids, posns = K.decode(sliced)
         ranks = np.searchsorted(cand, ids)
         cpos_parts.append(ranks.astype(np.int64) * _STRIDE + posns.astype(np.int64))
