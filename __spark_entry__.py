@@ -21,6 +21,16 @@ K1, B = 1.2, 0.75
 
 # DuckDB-side tokenizer, byte-equivalent to Python str.split()
 _TOKS = r"list_filter(string_split_regex(text, '\s+'), x -> len(x)>0)"
+
+
+def _r6(col):
+    """Engine-portable 6-decimal rounding (textops._round6): the same
+    double-op sequence in Spark and DuckDB, no half-ulp divergence."""
+    return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+
+def _r6_sql(x: str) -> str:
+    return f"floor(({x}) * 1e6 + 0.5) / 1e6"
 _TOK_CTE = f"""
 WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 tok AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) - 1 AS posn FROM d)
@@ -115,7 +125,7 @@ def q_corpus_stats(spark, sf_dir):
     idx = _index_for(spark, sf_dir)
     return idx.docstats.agg(
         F.count("*").cast("long").alias("num_docs"),
-        F.round(F.avg("doc_len"), 6).alias("avg_doc_len"))
+        _r6(F.avg("doc_len")).alias("avg_doc_len"))
 
 
 def q_top_terms(spark, sf_dir):
@@ -149,7 +159,7 @@ def q_bm25_top10(spark, sf_dir):
     dl = F.col("doc_len").cast("double")
     score = idf * tfd / (tfd + F.lit(K1) * (F.lit(1 - B) + F.lit(B) * dl / F.col("a")))
     return hits.groupBy("doc_id").agg(F.sum(score).alias("s")) \
-        .select("doc_id", F.round("s", 6).alias("score")) \
+        .select("doc_id", _r6(F.col("s")).alias("score")) \
         .orderBy(F.desc("s"), F.asc("doc_id")).limit(10)
 
 
@@ -205,7 +215,7 @@ def q_edismax_top10(spark, sf_dir):
     idx = _index_for(spark, sf_dir)
     out = edismax({"text": idx, "text2": idx}, q=" ".join(OR_TERMS),
                   qf=["text", "text2^2"], mm="2", tie=EDISMAX_TIE, exact=True)
-    return out.select("doc_id", F.round("score", 6).alias("score"), F.col("score").alias("_s")) \
+    return out.select("doc_id", _r6(F.col("score")).alias("score"), F.col("score").alias("_s")) \
         .orderBy(F.desc("_s"), F.asc("doc_id")).limit(10).drop("_s")
 
 
@@ -239,7 +249,7 @@ def q_bm25_filtered_top10(spark, sf_dir):
     dl = F.col("doc_len").cast("double")
     score = idf * tfd / (tfd + F.lit(K1) * (F.lit(1 - B) + F.lit(B) * dl / F.col("a")))
     return hits.groupBy("doc_id").agg(F.sum(score).alias("s")) \
-        .select("doc_id", F.round("s", 6).alias("score")) \
+        .select("doc_id", _r6(F.col("s")).alias("score")) \
         .orderBy(F.desc("s"), F.asc("doc_id")).limit(10)
 
 
@@ -421,7 +431,7 @@ def _minhash_oracle(threshold: float) -> str:
         pairs AS (SELECT a.id AS id_a, b.id AS id_b, ({eq}) AS n_eq,
                          ({bands}) AS collide
                   FROM sig a JOIN sig b ON a.id < b.id)
-        SELECT id_a, id_b, round(n_eq / 64.0, 6) AS est_jaccard
+        SELECT id_a, id_b, floor((n_eq / 64.0) * 1e6 + 0.5) / 1e6 AS est_jaccard
         FROM pairs WHERE collide AND n_eq / 64.0 >= {threshold}"""
 
 
@@ -457,7 +467,7 @@ def _ann_lsh_oracle() -> str:
               {qd}
               FROM embeddings WHERE vec_id = 0)
         SELECT b.vec_id,
-               round(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]), q.qv), 6) AS cosine
+               floor(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]), q.qv) * 1e6 + 0.5) / 1e6 AS cosine
         FROM b, q
         WHERE ({mism}) = 0 OR (({mism}) = 1 AND {mism_margin} = {min_margin})
         ORDER BY list_cosine_similarity(CAST(b.embedding AS DOUBLE[]), q.qv) DESC,
@@ -477,9 +487,9 @@ def _embedding_neardup_oracle(threshold: float) -> str:
         WITH bk AS (SELECT vec_id, embedding,
                {s_cols}
                FROM embeddings)
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 6) AS cosine
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, floor({cos} * 1e6 + 0.5) / 1e6 AS cosine
         FROM bk a JOIN bk b ON a.vec_id < b.vec_id AND {same_bucket}
-        WHERE round({cos}, 6) >= {threshold}"""
+        WHERE floor({cos} * 1e6 + 0.5) / 1e6 >= {threshold}"""
 
 
 def _edismax_oracle() -> str:
@@ -502,7 +512,7 @@ def _edismax_oracle() -> str:
               FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
               CROSS JOIN stats),
         t AS (SELECT doc_id, {ts} AS ts FROM s)
-        SELECT doc_id, round(sum(ts), 6) AS score
+        SELECT doc_id, floor(sum(ts) * 1e6 + 0.5) / 1e6 AS score
         FROM t GROUP BY doc_id HAVING count(*) >= 2
         ORDER BY sum(ts) DESC, doc_id ASC LIMIT 10"""
 
@@ -524,7 +534,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, len({_TOKS})::BIGINT AS doc_len FROM documents""",
         "corpus_stats": f"""
             SELECT count(*)::BIGINT AS num_docs,
-                   round(avg(len({_TOKS})), 6) AS avg_doc_len FROM documents""",
+                   floor(avg(len({_TOKS})) * 1e6 + 0.5) / 1e6 AS avg_doc_len FROM documents""",
         "top_terms": _TOK_CTE + """
             SELECT term, count(DISTINCT doc_id)::BIGINT AS df,
                    count(*)::BIGINT AS tf_total
@@ -538,8 +548,8 @@ def oracle_sql() -> dict[str, str]:
             df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
                    WHERE term IN ({or_in}) GROUP BY term)
             SELECT tf.doc_id,
-                   round(sum(ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
-                         * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl))), 6) AS score
+                   floor(sum(ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                         * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl))) * 1e6 + 0.5) / 1e6 AS score
             FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
             CROSS JOIN stats
             GROUP BY tf.doc_id
@@ -558,8 +568,8 @@ def oracle_sql() -> dict[str, str]:
             df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
                    WHERE term IN ({or_in}) GROUP BY term)
             SELECT tf.doc_id,
-                   round(sum(ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
-                         * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl))), 6) AS score
+                   floor(sum(ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                         * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl))) * 1e6 + 0.5) / 1e6 AS score
             FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
             CROSS JOIN stats
             GROUP BY tf.doc_id
@@ -601,9 +611,9 @@ def oracle_sql() -> dict[str, str]:
             WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
             SELECT doc_id, len(toks)::BIGINT AS n_tokens,
                    len(list_distinct(toks))::BIGINT AS n_unique,
-                   round(CASE WHEN len(toks) > 0
+                   floor((CASE WHEN len(toks) > 0
                          THEN list_sum(list_transform(toks, x -> len(x)))::DOUBLE / len(toks)
-                         ELSE 0.0 END, 6) AS avg_token_len
+                         ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS avg_token_len
             FROM d""",
         # rounding: floor(x*1e6 + 0.5)/1e6 — identical double-op sequence to
         # the Spark expression (textops._round6), so no half-ulp divergence
@@ -631,7 +641,7 @@ def oracle_sql() -> dict[str, str]:
             r AS (SELECT doc_id,
                          CASE WHEN n > 0 THEN ns::DOUBLE / n ELSE 0.0 END AS ratio
                   FROM s)
-            SELECT doc_id, round(ratio, 6) AS stopword_ratio,
+            SELECT doc_id, floor(ratio * 1e6 + 0.5) / 1e6 AS stopword_ratio,
                    CASE WHEN ratio >= 0.05 THEN 'en' ELSE 'unknown' END AS lang_pred
             FROM r""",
         "exact_dedup": """
@@ -651,7 +661,7 @@ def oracle_sql() -> dict[str, str]:
                       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
                       GROUP BY a.id, b.id)
             SELECT id_a, id_b,
-                   round(n_inter::DOUBLE / (ca.n_sh + cb.n_sh - n_inter), 6) AS jaccard
+                   floor((n_inter::DOUBLE / (ca.n_sh + cb.n_sh - n_inter)) * 1e6 + 0.5) / 1e6 AS jaccard
             FROM inter
             JOIN cnt ca ON inter.id_a = ca.id
             JOIN cnt cb ON inter.id_b = cb.id
@@ -659,7 +669,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_top10": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
             SELECT vec_id,
-                   round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv), 6) AS cosine
+                   floor(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv) * 1e6 + 0.5) / 1e6 AS cosine
             FROM embeddings, q WHERE vec_id <> 0
             ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv) DESC, vec_id ASC
             LIMIT 10""",

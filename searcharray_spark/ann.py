@@ -16,6 +16,8 @@ from typing import List, Sequence
 import numpy as np
 from pyspark.sql import Column, DataFrame, functions as F
 
+from .textops import _round6
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
@@ -36,8 +38,8 @@ def cosine_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
     qcol = F.array(*[F.lit(x).cast("double") for x in q])
     out = df.select(
         F.col(id_col),
-        F.round(_dot(F.col(vec_col).cast("array<double>"), qcol)
-                / (_norm(F.col(vec_col).cast("array<double>")) * F.lit(qn)), 6)
+        _round6(_dot(F.col(vec_col).cast("array<double>"), qcol)
+                / (_norm(F.col(vec_col).cast("array<double>")) * F.lit(qn)))
         .alias("cosine"),
     )
     if exclude_id is not None:
@@ -128,6 +130,6 @@ def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.95,
     pairs = a.join(b, join_cond).select(
         F.col(f"a.{id_col}").alias("id_a"),
         F.col(f"b.{id_col}").alias("id_b"),
-        F.round(_dot(va, vb) / (_norm(va) * _norm(vb)), 6).alias("cosine"),
+        _round6(_dot(va, vb) / (_norm(va) * _norm(vb))).alias("cosine"),
     )
     return pairs.filter(F.col("cosine") >= threshold)

@@ -25,6 +25,18 @@ def tokens_col(text_col: str = "text") -> Column:
     return F.filter(F.split(F.col(text_col), r"\s+"), lambda x: F.length(x) > 0)
 
 
+def _round6(col: Column) -> Column:
+    """Half-up 6-decimal rounding on IEEE doubles: floor(x*1e6 + 0.5)/1e6.
+
+    Spark's F.round (HALF_UP on BigDecimal) and DuckDB's round (on binary
+    doubles) disagree on half-ulp boundaries; this expression is the same
+    sequence of double ops in both engines, so results are bit-identical
+    (oracle SQL uses the identical formula). Used for EVERY rounded
+    output column in this package.
+    """
+    return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+
 def hash60(col: Column) -> Column:
     """Deterministic 60-bit non-negative int64 hash of a string column.
 
@@ -56,23 +68,12 @@ def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         F.col(id_col),
         F.size("tokens").cast("long").alias("n_tokens"),
         F.size(F.array_distinct("tokens")).cast("long").alias("n_unique"),
-        F.round(
+        _round6(
             F.when(F.size("tokens") > 0,
                    F.aggregate("tokens", F.lit(0).cast("double"),
                                lambda acc, x: acc + F.length(x)) / F.size("tokens"))
-            .otherwise(F.lit(0.0)), 6).alias("avg_token_len"),
+            .otherwise(F.lit(0.0))).alias("avg_token_len"),
     )
-
-
-def _round6(col: Column) -> Column:
-    """Half-up 6-decimal rounding on IEEE doubles: floor(x*1e6 + 0.5)/1e6.
-
-    Spark's F.round (HALF_UP on BigDecimal) and DuckDB's round (on binary
-    doubles) disagree on half-ulp boundaries; this expression is the same
-    sequence of double ops in both engines, so results are bit-identical
-    (oracle SQL uses the identical formula). Non-negative inputs only.
-    """
-    return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
 
 
 def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -109,7 +110,7 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                    / F.size("tokens")).otherwise(0.0)
     return t.select(
         F.col(id_col),
-        F.round(ratio, 6).alias("stopword_ratio"),
+        _round6(ratio).alias("stopword_ratio"),
         F.when(ratio >= threshold, F.lit("en")).otherwise(F.lit("unknown")).alias("lang_pred"),
     )
 
@@ -174,8 +175,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     ca = counts.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
     cb = counts.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
     out = inter.join(F.broadcast(ca), "id_a").join(F.broadcast(cb), "id_b") \
-        .withColumn("jaccard", F.round(
-            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6)) \
+        .withColumn("jaccard", _round6(
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))) \
         .filter(F.col("jaccard") >= threshold) \
         .select("id_a", "id_b", "jaccard")
     return out
@@ -244,7 +245,7 @@ def minhash_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
         .dropDuplicates(["id_a", "id_b"])
     est = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
                           lambda m: m)) / F.lit(num_hashes)
-    return cand.withColumn("est_jaccard", F.round(est, 6)) \
+    return cand.withColumn("est_jaccard", _round6(est)) \
         .filter(F.col("est_jaccard") >= threshold) \
         .select("id_a", "id_b", "est_jaccard")
 
