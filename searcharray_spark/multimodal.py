@@ -192,32 +192,39 @@ def decode_png(data: bytes) -> np.ndarray:
     raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
     filters = raw[:, 0]
     out = np.zeros((h, stride), dtype=np.uint8)
+    zero_pix = np.zeros(c, dtype=np.int32)
     for y in range(h):
-        line = raw[y, 1:].astype(np.int32)
-        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        line = raw[y, 1:]
         f = filters[y]
         if f == 0:
-            cur = line
+            out[y] = line
+        elif f == 1:  # Sub: per-channel modular prefix sum (vectorized)
+            out[y] = line.reshape(w, c).cumsum(axis=0, dtype=np.uint8) \
+                .reshape(stride)
         elif f == 2:  # Up
-            cur = (line + prev) & 0xFF
-        elif f in (1, 3, 4):  # Sub / Average / Paeth: left-sequential
-            cur = np.empty(stride, dtype=np.int32)
-            for x in range(stride):
-                a = cur[x - c] if x >= c else 0
+            out[y] = line + out[y - 1] if y else line
+        elif f in (3, 4):  # Average / Paeth: left-sequential, so iterate
+            # pixel columns (c channels decoded per step, vectorized)
+            prev = (out[y - 1].astype(np.int32) if y
+                    else np.zeros(stride, np.int32)).reshape(w, c)
+            line_px = line.astype(np.int32).reshape(w, c)
+            cur = np.empty((w, c), dtype=np.int32)
+            a = zero_pix
+            for x in range(w):
                 b = prev[x]
-                if f == 1:
-                    pred = a
-                elif f == 3:
+                if f == 3:
                     pred = (a + b) >> 1
                 else:
-                    cc = int(prev[x - c]) if x >= c else 0
+                    cc = prev[x - 1] if x else zero_pix
                     p = a + b - cc
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
-                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
-                cur[x] = (line[x] + pred) & 0xFF
+                    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - cc)
+                    pred = np.where((pa <= pb) & (pa <= pc), a,
+                                    np.where(pb <= pc, b, cc))
+                a = (line_px[x] + pred) & 0xFF
+                cur[x] = a
+            out[y] = cur.astype(np.uint8).reshape(stride)
         else:
             raise UnsupportedMediaError(f"PNG filter {f} invalid")
-        out[y] = cur.astype(np.uint8)
     return out.reshape(h, w, c)
 
 
@@ -410,16 +417,20 @@ def sample_frames(df: DataFrame, every_n: int = 10, id_col: str = "media_id",
                 b = bytes(payload)
                 if not b.startswith(b"P6"):
                     continue  # not a PPM stream: skip (unsupported codec)
-                for idx, frame in iter_ppm_frames(b):
-                    if idx % every_n:
-                        continue
-                    try:
+                # the generator's own header parse can raise on a
+                # truncated trailing frame — bad blobs are data, not
+                # crashes, so the whole iteration is guarded
+                try:
+                    for idx, frame in iter_ppm_frames(b):
+                        if idx % every_n:
+                            continue
                         img = decode_ppm(frame)
-                    except (UnsupportedMediaError, ValueError):
-                        continue
-                    rows.append((int(mid), idx, img.shape[1], img.shape[0],
-                                 hashlib.sha1(frame).hexdigest(),
-                                 float(_luma(img).mean())))
+                        rows.append((int(mid), idx, img.shape[1],
+                                     img.shape[0],
+                                     hashlib.sha1(frame).hexdigest(),
+                                     float(_luma(img).mean())))
+                except (UnsupportedMediaError, ValueError, struct.error):
+                    pass  # keep the frames decoded so far
             yield pd.DataFrame(rows, columns=[
                 "media_id", "frame_idx", "width", "height", "frame_sha1",
                 "mean_luma"])

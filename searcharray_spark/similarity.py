@@ -97,10 +97,12 @@ def classic_similarity() -> Similarity:
     """Classic Lucene TF-IDF."""
 
     def classic(term_freqs, doc_freqs, doc_lens, avg_doc_lens, num_docs):
+        """dfs SUM across query terms (reference similarity.py:80-84),
+        idf = ln((N+1)/(sum_dfs+1)) + 1, sqrt tf, 1/sqrt(dl) norm."""
         tf = np.asarray(term_freqs, dtype=np.float32)
-        dfs = np.asarray(doc_freqs, dtype=np.float32)
+        sum_dfs = float(np.sum(np.asarray(doc_freqs, dtype=np.float32)))
         dl = np.asarray(doc_lens, dtype=np.float32)
-        idf = np.log((num_docs + 1) / (dfs + 1)) + 1.0
+        idf = np.log((num_docs + 1) / (sum_dfs + 1)) + 1.0
         length_norm = np.float32(1.0) / np.sqrt(dl, where=dl > 0, out=np.ones_like(dl))
         return np.float32(idf) * np.sqrt(tf) * length_norm
 

@@ -94,18 +94,24 @@ def _exact_term_hits(idx: SearchIndex, toks: List[str], boost: float) -> DataFra
     """(token_idx, doc_id, score) with BM25 computed as a JVM-side DOUBLE
     expression over exact integer tfs — the oracle-reproducible scorer.
     idf/avgdl come from the index tables, so an ANSI-SQL oracle computing
-    the same expression from raw tokens matches value-for-value."""
+    the same expression from raw tokens matches value-for-value.
+
+    N and avgdl are aggregated together from the LIVE docstats (update
+    segments included), so the exact path is self-consistent after
+    delete/update — unlike the float32 kernel path, whose stats stay
+    as-built until compact() (documented Lucene-like divergence)."""
     spark = idx.spark
     hits = idx.score_many(toks).select("token_idx", "doc_id", "tf")
     toks_df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(toks)], "token_idx int, term string")
     stats = idx.term_stats.filter(F.col("term").isin(toks)).select("term", "df")
-    avgdl_df = idx.docstats.agg(F.avg("doc_len").alias("_avgdl"))
+    avgdl_df = idx.docstats.agg(F.avg("doc_len").alias("_avgdl"),
+                                F.count("*").alias("_n"))
     hits = hits.join(F.broadcast(toks_df), "token_idx") \
         .join(F.broadcast(stats), "term") \
         .join(idx.docstats.select("doc_id", "doc_len"), "doc_id") \
         .crossJoin(F.broadcast(avgdl_df))
-    idf = F.log(F.lit(1.0) + (F.lit(idx.num_docs) - F.col("df") + 0.5)
+    idf = F.log(F.lit(1.0) + (F.col("_n") - F.col("df") + 0.5)
                 / (F.col("df") + 0.5))
     tfd = F.col("tf").cast("double")
     dl = F.col("doc_len").cast("double")

@@ -285,3 +285,24 @@ def test_slice_keys_sorted_probe():
     ids, _ = K.termfreqs(out)
     assert ids.tolist() == [1, 9]
     assert K.unique_keys(packed).tolist() == [1, 5, 9, 30]
+
+
+def test_slice_keys_keeps_duplicate_words_per_doc():
+    """J2 intersect-keep-dups (reference intersect.pyx keep-dup variant):
+    slicing a posting array to a doc set keeps EVERY word of a matching
+    doc — multiple posn blocks and multi-bit payloads survive intact."""
+    import numpy as np
+    from searcharray_spark import kernels as K
+
+    # doc 3: positions 0, 17, 18, 40 (three posn blocks); doc 7: posn 2
+    packed = K.encode(np.array([3, 3, 3, 3, 7], dtype=np.uint64),
+                      np.array([0, 17, 18, 40, 2], dtype=np.uint64))
+    assert len(packed) == 4  # (3, blk0), (3, blk1), (3, blk2), (7, blk0)
+    out = K.slice_keys(packed, np.array([3], dtype=np.int64))
+    assert len(out) == 3  # all of doc 3's words kept, with duplicate key
+    ids, posns = K.decode(out)
+    assert ids.tolist() == [3, 3, 3, 3]
+    assert posns.tolist() == [0, 17, 18, 40]
+    # and the intersect index-pair primitive keeps payload identity
+    ia, ib = K._intersect_sorted(K.headers(packed), K.headers(packed))
+    assert len(ia) == 4  # every header matches itself exactly once

@@ -193,3 +193,48 @@ def test_pretokenized_build_matches_text_build(spark, tmp_path, canonical_index)
     assert np.array_equal(idx.termfreqs_dense(["foo", "bar"]),
                           canonical_index.termfreqs_dense(["foo", "bar"]))
     assert idx.avg_doc_len == canonical_index.avg_doc_len
+
+
+def test_classic_similarity_golden(canonical_index):
+    """SC5 classic TF-IDF (reference similarity.py:74-89): dfs summed
+    across query terms, idf = ln((N+1)/(sum_dfs+1)) + 1, sqrt(tf),
+    1/sqrt(dl). Golden: N=100, df(bar)=50 -> idf=1.6833; doc0 tf=2 dl=4
+    and doc2 tf=1 dl=2 both land on 1.1902692 (sqrt(2)/2 == 1/sqrt(2))."""
+    scores = canonical_index.score_dense("bar", similarity="classic")
+    assert np.isclose(scores, [1.1902692, 0.0, 1.1902692, 0.0] * 25).all()
+
+
+def test_custom_similarity_pruned_topk_rank_identical(canonical_index):
+    """A custom similarity WITHOUT the monotone_bounds flag must not be
+    pruned with default-BM25 bounds (they'd be unsound for k1=10): the
+    exhaustive fallback path must produce ranks identical to score()."""
+    custom = bm25_similarity(k1=10, b=0.01)
+    del custom.monotone_bounds  # simulate an unknown user callable
+    exhaustive = canonical_index.score_many([["bar"], ["foo"]],
+                                            similarity=custom) \
+        .groupBy("doc_id").agg(F.sum("score").alias("score")) \
+        .orderBy(F.desc("score"), F.asc("doc_id")).limit(5).collect()
+    pruned = canonical_index.top_k_pruned(["bar", "foo"], k=5,
+                                          similarity=custom)
+    assert pruned._wand_blocks_scanned == -1  # pruning did NOT run
+    got = pruned.collect()
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in exhaustive]
+    assert np.allclose([r["score"] for r in got],
+                       [r["score"] for r in exhaustive])
+
+
+def test_flagged_custom_similarity_is_pruned(canonical_index):
+    """A custom similarity CARRYING monotone_bounds=True gets real WAND
+    pruning with bounds computed from ITSELF (not default BM25) and stays
+    rank-identical."""
+    custom = bm25_similarity(k1=10, b=0.01)  # factory sets the flag
+    assert custom.monotone_bounds
+    exhaustive = canonical_index.score_many([["bar"], ["foo"]],
+                                            similarity=custom) \
+        .groupBy("doc_id").agg(F.sum("score").alias("score")) \
+        .orderBy(F.desc("score"), F.asc("doc_id")).limit(5).collect()
+    pruned = canonical_index.top_k_pruned(["bar", "foo"], k=5,
+                                          similarity=custom)
+    assert pruned._wand_blocks_scanned >= 0  # pruning ran
+    got = pruned.collect()
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in exhaustive]
