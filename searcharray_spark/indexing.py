@@ -136,9 +136,13 @@ def write_term_stats(stage_p: DataFrame, path: str, n_partitions: int,
     """Aggregate per-(term, block) stage rows into per-term sketch rows.
 
     Two-phase: partial agg by (term, group) — map-side combinable, so a
-    hot term's rows collapse before the per-term gather — then one
-    ``applyInPandas`` per term packs the group arrays. The hot-term
-    gather task sees at most MAX_BOUND_GROUPS rows by construction.
+    hot term's shuffled volume is capped at MAX_BOUND_GROUPS rows — then
+    hash-partition by term, sort within partitions, and pack every
+    term's group arrays in ONE vectorized ``mapInPandas`` pass (term
+    boundaries by diff scan; a per-term ``applyInPandas`` would pay
+    pandas-group overhead per vocabulary entry). Output stays
+    term-sorted within files, so term-pruned lookups keep row-group
+    min/max skipping.
     """
     agg = stage_p.groupBy(
         "term", (F.floor(F.col("block_id") / F.lit(granularity))).alias("grp")
@@ -150,24 +154,34 @@ def write_term_stats(stage_p: DataFrame, path: str, n_partitions: int,
         F.countDistinct("block_id").alias("n_blocks"),
     )
 
-    def gather(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def gather(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        batches = [pdf for pdf in it if len(pdf)]
+        if not batches:
+            return
+        pdf = pd.concat(batches) if len(batches) > 1 else batches[0]
+        terms = pdf["term"].to_numpy()
         grp = pdf["grp"].to_numpy(dtype=np.int64)
-        order = np.argsort(grp)
-        return pd.DataFrame({
-            "term": [key[0]],
-            "df": [int(pdf["df"].sum())],
-            "tf_total": [int(pdf["tf_total"].sum())],
-            "n_blocks": [int(pdf["n_blocks"].sum())],
-            "grp_ids": [grp[order].astype("<i4").tobytes()],
-            "grp_tf_max": [pdf["tf_max"].to_numpy(dtype=np.int64)[order]
-                           .astype("<i4").tobytes()],
-            "grp_dl_min": [pdf["dl_min"].to_numpy(dtype=np.int64)[order]
-                           .astype("<i4").tobytes()],
-        })
+        tf_max = pdf["tf_max"].to_numpy(dtype=np.int64).astype("<i4")
+        dl_min = pdf["dl_min"].to_numpy(dtype=np.int64).astype("<i4")
+        df_ = pdf["df"].to_numpy(dtype=np.int64)
+        tf_tot = pdf["tf_total"].to_numpy(dtype=np.int64)
+        n_blk = pdf["n_blocks"].to_numpy(dtype=np.int64)
+        starts = np.concatenate(
+            ([0], np.flatnonzero(terms[1:] != terms[:-1]) + 1, [len(terms)]))
+        rows = []
+        for s, e in zip(starts[:-1], starts[1:]):
+            g = grp[s:e]
+            rows.append((
+                terms[s], int(df_[s:e].sum()), int(tf_tot[s:e].sum()),
+                int(n_blk[s:e].sum()), g.astype("<i4").tobytes(),
+                tf_max[s:e].tobytes(), dl_min[s:e].tobytes()))
+        yield pd.DataFrame(rows, columns=[
+            "term", "df", "tf_total", "n_blocks",
+            "grp_ids", "grp_tf_max", "grp_dl_min"])
 
-    agg.groupBy("term").applyInPandas(gather, TERM_STATS_SCHEMA) \
-        .repartitionByRange(max(1, n_partitions), "term") \
-        .sortWithinPartitions("term") \
+    agg.repartition(max(1, n_partitions), "term") \
+        .sortWithinPartitions("term", "grp") \
+        .mapInPandas(gather, TERM_STATS_SCHEMA) \
         .write.mode("overwrite").parquet(path)
 
 
