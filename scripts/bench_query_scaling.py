@@ -103,21 +103,41 @@ def main():
         print(f"built {n_docs} docs in {time.time()-t0:.1f}s", file=sys.stderr)
         spark.stop()
 
+    # interleaved windows (see bench_scaling.py): neighbor CPU-steal
+    # bursts on this VM last minutes; alternating levels and keeping the
+    # best per level keeps one burst from sinking a whole level
+    windows = int(os.environ.get("BENCH_WINDOWS", "2"))
     results = {}
-    for cpus in (small_n, large_n):
-        os.sync()
-        time.sleep(15)
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--worker",
-             str(cpus), idx_path],
-            capture_output=True, text=True, timeout=3600,
-            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-        line = [ln for ln in proc.stdout.splitlines()
-                if ln.startswith("WORKER_RESULT ")]
-        if not line:
-            print(proc.stdout[-3000:], proc.stderr[-3000:])
-            raise RuntimeError(f"worker {cpus} failed")
-        results[cpus] = json.loads(line[-1][len("WORKER_RESULT "):])
+
+    def merge(a, b):
+        if a is None:
+            return b
+        out = dict(a)
+        out["queries"] = {k: min(a["queries"][k], b["queries"][k])
+                          for k in a["queries"]}
+        out["total_query_secs"] = round(sum(out["queries"].values()), 3)
+        out["sustained_secs"] = min(a["sustained_secs"], b["sustained_secs"])
+        out["sustained_qps"] = max(a["sustained_qps"], b["sustained_qps"])
+        return out
+
+    for w in range(windows):
+        for cpus in (small_n, large_n):
+            os.sync()
+            time.sleep(15)
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker",
+                 str(cpus), idx_path],
+                capture_output=True, text=True, timeout=3600,
+                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+            line = [ln for ln in proc.stdout.splitlines()
+                    if ln.startswith("WORKER_RESULT ")]
+            if not line:
+                print(proc.stdout[-3000:], proc.stderr[-3000:])
+                raise RuntimeError(f"worker {cpus} failed (window {w})")
+            got = json.loads(line[-1][len("WORKER_RESULT "):])
+            results[cpus] = merge(results.get(cpus), got)
+            print(f"window {w} local[{cpus}]: total={got['total_query_secs']}s "
+                  f"sustained_qps={got['sustained_qps']}", file=sys.stderr)
     small, large = results[small_n], results[large_n]
     factor = large_n / small_n
     result = {

@@ -6,13 +6,18 @@ doclengths, positions, score) re-expressed as sparse DataFrames:
 results are (doc_id, tf|score) rows, never dense arrays, until a test
 helper densifies at small scale.
 
-Query execution model (no posting shuffle at query time):
+Query execution model (no shuffle at query time):
 - postings scan is pruned to the query terms (pushed-down ``term IN
   (...)`` filter + row-group min/max pruning on the within-file term
   sort; storage is document-partitioned so hot terms scan in parallel),
-- hits are computed block-locally by cogrouping query-term posting rows
-  with the block's packed doclens row (``applyInPandas`` over
-  ``block_id``), numpy kernels inside,
+- hits are computed block-locally inside ``mapInPandas`` numpy kernels:
+  postings files are scan-aligned (one row group per file => whole doc
+  blocks per scan partition, see ``_files_aligned``), and each block's
+  packed doclens row comes from a session broadcast (small corpora) or
+  a per-task side-input read of the co-partitioned doclens file
+  (``DoclensReader``) — never a cogroup/shuffle,
+- block pruning and WAND bounds are driver math over per-term sketches
+  fetched once from term_stats (``TermSketch``),
 - only (doc_id, score) survivors leave the kernel; global top-k is
   Spark's TakeOrdered (per-partition top-k, then driver merge).
 """

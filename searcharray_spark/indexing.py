@@ -533,11 +533,26 @@ def build_index(
     }
     with open(os.path.join(index_path, "meta.json"), "w") as fh:
         json.dump(meta, fh, indent=2)
+
+    def _table_bytes(name: str) -> int:
+        total = 0
+        for root, _, files in os.walk(os.path.join(index_path, name)):
+            total += sum(os.path.getsize(os.path.join(root, f))
+                         for f in files if f.endswith(".parquet"))
+        return total
+
     with open(metrics_path, "a") as fh:
         fh.write(json.dumps({
             "stage": "finalize", "num_docs": meta["num_docs"],
             "total_tokens": meta["total_tokens"],
             "secs": meta["build_secs"],
             "docs_per_sec": round(meta["num_docs"] / max(meta["build_secs"], 1e-9), 1),
+            "tokens_per_sec": round(
+                (meta["total_tokens"] or 0) / max(meta["build_secs"], 1e-9), 1),
+            # bytes shuffled ~= staged posting bytes (the one big exchange)
+            "stage_bytes": _table_bytes("stage"),
+            "postings_bytes": _table_bytes("postings"),
+            "doclens_bytes": _table_bytes("doclens"),
+            "term_stats_bytes": _table_bytes("term_stats"),
         }) + "\n")
     return SearchIndex(spark, index_path, tokenizer=tokenizer_fn)
