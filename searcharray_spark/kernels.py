@@ -97,18 +97,35 @@ def encode(doc_ids: np.ndarray, posns: np.ndarray) -> np.ndarray:
 
 
 def decode(packed: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-    """Unpack to flat (doc_ids, posns) arrays, ordered by (doc, posn)."""
+    """Unpack to flat (doc_ids, posns) arrays, ordered by (doc, posn).
+
+    Per-bit-position loop (18 passes over the word array) instead of an
+    (n_words, 18) expansion matrix: peak temporary memory is O(n_words)
+    instead of 18x that — large fresh allocations are brutally expensive
+    on overcommitted hosts (measured ~0.5 ms/page first-touch on the
+    bench VM), and smaller peaks also keep the worker heap reusable
+    across blocks.
+    """
     if len(packed) == 0:
         return _EMPTY_I64, _EMPTY_I64
-    counts = popcount64(lsb(packed))
-    doc = np.repeat(keys(packed), counts)
-    # expand each word's set bits; nonzero() walks row-major == ascending
-    bitpos = np.arange(18, dtype=np.uint64)
-    expanded = (lsb(packed)[:, None] >> bitpos[None, :]) & _1  # (n_words, 18)
-    _, cols = np.nonzero(expanded)
+    bits = lsb(packed)
+    word_parts: List[np.ndarray] = []
+    bit_parts: List[np.ndarray] = []
+    for b in range(18):
+        hit = np.flatnonzero((bits >> np.uint64(b)) & _1)
+        if len(hit):
+            word_parts.append(hit)
+            bit_parts.append(np.full(len(hit), b, dtype=np.int64))
+    if not word_parts:
+        return _EMPTY_I64, _EMPTY_I64
+    words = np.concatenate(word_parts)
+    bvals = np.concatenate(bit_parts)
+    # word-major then bit order == ascending (doc, posn)
+    order = np.argsort(words * np.int64(32) + bvals, kind="stable")
+    words = words[order]
+    bvals = bvals[order]
     blocks = ((packed >> MSB_SHIFT) & np.uint64((1 << 18) - 1)).astype(np.int64)
-    posns = np.repeat(blocks, counts) * 18 + cols.astype(np.int64)
-    return doc, posns
+    return keys(packed)[words], blocks[words] * 18 + bvals
 
 
 def termfreqs(packed: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:

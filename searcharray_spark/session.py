@@ -10,6 +10,20 @@ def get_spark(app_name: str = "searcharray_spark", master: str | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
     master = master or os.environ.get("SPARK_GRAFT_MASTER") \
         or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    # Keep numpy/pandas kernel memory REUSABLE in python workers: by
+    # default glibc mmap()s allocations >32MB and munmap()s them on
+    # free, so every big kernel temporary is fresh kernel pages — on
+    # overcommitted/ballooned hosts first-touch can cost ~0.5 ms/page
+    # (measured on the bench VM: 8 s to touch 57 MB). Raising the mmap
+    # and trim thresholds keeps those buffers on the retained heap, so
+    # only the first kernel call per worker pays the fault cost.
+    # ARROW_DEFAULT_MEMORY_POOL=system routes pyarrow buffers through
+    # the same tuned malloc. Inherited by the JVM and its python
+    # workers (set before the JVM launches); no-ops on healthy hosts.
+    for var, val in (("MALLOC_MMAP_THRESHOLD_", str(1 << 30)),
+                     ("MALLOC_TRIM_THRESHOLD_", str(1 << 30)),
+                     ("ARROW_DEFAULT_MEMORY_POOL", "system")):
+        os.environ.setdefault(var, val)
     # executor python workers must be able to import this package no
     # matter the driver's cwd (cluster deploys use --py-files instead)
     pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -93,3 +93,29 @@ def test_compact_matches_fresh_build(idx, spark, tmp_path):
     assert np.array_equal(compacted.score_dense("bar"), fresh.score_dense("bar"))
     assert np.array_equal(compacted.termfreqs_dense(["foo", "bar"]),
                           fresh.termfreqs_dense(["foo", "bar"]))
+
+
+def test_side_input_doclens_with_update_segments(idx, spark, tmp_path):
+    """The big-corpus doclens path (DoclensReader side-input, no
+    broadcast) must patch update-segment doc lengths by seg priority
+    exactly like the broadcast path: scores bit-identical on an index
+    carrying deletes + updates."""
+    upd = spark.createDataFrame(
+        [(1, "bar bar bar bar bar"), (5, "foo")], "doc_id long, text string")
+    idx.update_docs(upd)
+    idx.delete_docs([2])
+
+    from searcharray_spark.index import SearchIndex
+    broadcast_scores = {r["doc_id"]: r["score"]
+                        for r in idx.score("bar").collect()}
+    side = SearchIndex(spark, idx.path)
+    side.DOCLENS_BROADCAST_MAX_DOCS = 0  # force the reader path
+    side_scores = {r["doc_id"]: r["score"]
+                   for r in side.score("bar").collect()}
+    assert broadcast_scores == side_scores
+    assert broadcast_scores[1] > 0      # updated doc matches new content
+    assert 2 not in broadcast_scores    # deleted doc gone
+    # phrase query down the reader path too (grouped or zero-shuffle)
+    bp = {r["doc_id"]: r["tf"] for r in idx.termfreqs(["foo", "bar"]).collect()}
+    sp = {r["doc_id"]: r["tf"] for r in side.termfreqs(["foo", "bar"]).collect()}
+    assert bp == sp
