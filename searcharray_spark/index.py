@@ -172,6 +172,41 @@ def _load_doclens_file(path: str) -> dict:
     return out
 
 
+def scan_doclens_ranges(sources) -> list:
+    """[(seg, file, min_block, max_block)] for every parquet file under
+    each (seg, root) source, from parquet footer stats — driver-side,
+    O(files) footer reads, no data read. The block->file map DoclensReader
+    side-input lookups use (query path and compaction both)."""
+    import pyarrow.parquet as pq
+    out = []
+    for seg, root in sources:
+        for dirpath, _, files in os.walk(root):
+            for f in sorted(files):
+                if not f.endswith(".parquet"):
+                    continue
+                p = os.path.join(dirpath, f)
+                md = pq.ParquetFile(p).metadata
+                lo = hi = None
+                for rg in range(md.num_row_groups):
+                    row_grp = md.row_group(rg)
+                    for ci in range(row_grp.num_columns):
+                        col = row_grp.column(ci)
+                        if col.path_in_schema != "block_id":
+                            continue
+                        st = col.statistics
+                        if st is not None and st.has_min_max:
+                            lo = int(st.min) if lo is None else min(lo, int(st.min))
+                            hi = int(st.max) if hi is None else max(hi, int(st.max))
+                if lo is None:  # stats disabled: read the tiny column
+                    ids = pq.read_table(p, columns=["block_id"]) \
+                        .column(0).to_pylist()
+                    if not ids:
+                        continue
+                    lo, hi = int(min(ids)), int(max(ids))
+                out.append((seg, p, lo, hi))
+    return out
+
+
 class DoclensReader:
     """Executor-side doclens lookup without broadcast or shuffle.
 
@@ -217,6 +252,19 @@ class SearchIndex:
     def __init__(self, spark: SparkSession, path: str, tokenizer=None):
         self.spark = spark
         self.path = path
+        # Side-input kernels (DoclensReader) and driver metadata reads use
+        # POSIX paths; a remote object-store index would need these routed
+        # through pyarrow.fs.FileSystem.from_uri (ROADMAP). Fail fast with
+        # a clear message instead of an executor-side FileNotFoundError.
+        scheme = path.split("://", 1)[0] if "://" in path else ""
+        if scheme not in ("", "file"):
+            raise NotImplementedError(
+                f"SearchIndex requires a filesystem path shared by driver "
+                f"and executors (got scheme '{scheme}://'). Remote stores "
+                f"(s3/hdfs) need the pyarrow.fs side-input route — see "
+                f"ROADMAP.md.")
+        if path.startswith("file://"):
+            path = self.path = path[len("file://"):]
         with open(os.path.join(path, "meta.json")) as fh:
             self.meta = json.load(fh)
         self.docs_per_block = int(self.meta["docs_per_block"])
@@ -527,38 +575,11 @@ class SearchIndex:
         reads) — the block->file map DoclensReader side-input reads use."""
         if self._dl_ranges is not None:
             return self._dl_ranges
-        import pyarrow.parquet as pq
         sources = [(0, os.path.join(self.path, "doclens"))]
         sources += [(s, os.path.join(self.path, "updates", f"seg={s}", "doclens"))
                     for s in self._update_segs()]
-        out = []
-        for seg, root in sources:
-            for dirpath, _, files in os.walk(root):
-                for f in sorted(files):
-                    if not f.endswith(".parquet"):
-                        continue
-                    p = os.path.join(dirpath, f)
-                    md = pq.ParquetFile(p).metadata
-                    lo = hi = None
-                    for rg in range(md.num_row_groups):
-                        row_grp = md.row_group(rg)
-                        for ci in range(row_grp.num_columns):
-                            col = row_grp.column(ci)
-                            if col.path_in_schema != "block_id":
-                                continue
-                            st = col.statistics
-                            if st is not None and st.has_min_max:
-                                lo = int(st.min) if lo is None else min(lo, int(st.min))
-                                hi = int(st.max) if hi is None else max(hi, int(st.max))
-                    if lo is None:  # stats disabled: read the tiny column
-                        ids = pq.read_table(p, columns=["block_id"]) \
-                            .column(0).to_pylist()
-                        if not ids:
-                            continue
-                        lo, hi = int(min(ids)), int(max(ids))
-                    out.append((seg, p, lo, hi))
-        self._dl_ranges = out
-        return out
+        self._dl_ranges = scan_doclens_ranges(sources)
+        return self._dl_ranges
 
     # --- scalar stats -----------------------------------------------------
     def docfreq(self, term: str) -> int:
@@ -590,10 +611,13 @@ class SearchIndex:
 
     # --- core query kernel ------------------------------------------------
 
-    # broadcast the packed doclens when the whole table fits comfortably
-    # in executor memory (~16 bytes/doc) — kills the doclens shuffle on
-    # every query. Beyond this, queries fall back to the block cogroup.
-    DOCLENS_BROADCAST_MAX_DOCS = 32_000_000
+    # broadcast the packed doclens only for small corpora (~16 bytes/doc,
+    # so <=2M docs is a ~32 MB broadcast) where repeated-query latency
+    # benefits most; everything larger uses the co-partitioned
+    # DoclensReader side-input (proven bit-identical, no O(num_docs)
+    # driver collect). Round-3 kept a 512 MB collect+broadcast default up
+    # to 32M docs — pointless risk once the side-input path existed.
+    DOCLENS_BROADCAST_MAX_DOCS = 2_000_000
 
     def _doclens_broadcast(self):
         if getattr(self, "_dl_bc", None) is None:
@@ -1009,10 +1033,15 @@ class SearchIndex:
             else:
                 tokens_list = [_normalize_token(t) for t in seq]
         sim_fn = sim_mod.resolve(similarity)
-        cache_key = (tuple(tuple(t) for t in tokens_list),
-                     similarity if (similarity is None
-                                    or isinstance(similarity, str))
-                     else id(similarity))
+        # cache on the callable OBJECT (a strong reference in the key),
+        # never id(): CPython reuses ids after GC, so two different
+        # bm25_similarity(k1=...) closures created per call could
+        # otherwise collide on a stale bounds entry (unsound pruning)
+        try:
+            cache_key = (tuple(tuple(t) for t in tokens_list), similarity)
+            hash(cache_key)
+        except TypeError:  # unhashable custom similarity: skip the cache
+            cache_key = None
         bounds = None
         if getattr(sim_fn, "monotone_bounds", False):
             bounds = self._block_bounds(tokens_list, sim_fn,

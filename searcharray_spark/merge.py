@@ -26,34 +26,47 @@ def compact_index(spark: SparkSession, index_path: str, out_path: str) -> Search
     Deleted docs disappear; updated docs keep their ids with the new
     content; df / tf / block-max metadata and corpus stats (num_docs,
     avg_doc_len) are recomputed exactly. The epoch resets (no
-    tombstones/updates in the output). Compacted doclens are broadcast
-    into the postings rewrite kernel (same bound as query-time doclens
-    broadcast; a >32M-doc compaction would cogroup instead).
+    tombstones/updates in the output).
+
+    Fully distributed — NO O(num_docs) driver materialization: doclens
+    compact as a per-block applyInPandas and are written FIRST; the
+    postings rewrite kernel then side-input-reads the compacted doclens
+    file covering its block (DoclensReader pattern, index.py) instead of
+    a whole-corpus broadcast; corpus stats come from one distributed
+    pass over the written doclens. Only the tombstone set is broadcast
+    (O(deletes between compactions), not O(corpus)).
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql import functions as F  # noqa: F811
 
     from . import kernels as K
+    from .index import DoclensReader, scan_doclens_ranges
 
     idx = SearchIndex(spark, index_path)
     tomb = idx._tombstones()
-    dpb = idx.docs_per_block
+    tomb_bc = spark.sparkContext.broadcast(tomb)
 
-    # --- compacted doclens: per block, later segs override; a doc
-    # survives unless its newest row predates its newest tombstone
-    dl_rows = idx.doclens.collect()
-    by_block: dict = {}
-    for r in dl_rows:
-        by_block.setdefault(int(r["block_id"]), []).append(
-            (int(r["seg"]), np.frombuffer(r["doc_ids"], dtype="<i8"),
-             np.frombuffer(r["doc_lens"], dtype="<f4")))
-    final_dl: dict = {}
-    for b, rows in by_block.items():
+    from .indexing import (PARQUET_ROW_GROUP_BYTES, bounds_granularity,
+                           write_postings_table, write_term_stats)
+
+    n_parts = max(4, spark.sparkContext.defaultParallelism)
+
+    # --- 1. compacted doclens (distributed, per block): later segs
+    # override; a doc survives unless its newest row predates its newest
+    # tombstone
+    def compact_doclens(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        b = int(key[0])
         ids = None
-        for seg, i, ln in sorted(rows, key=lambda x: x[0]):
+        rows = sorted(zip(pdf["seg"], pdf["doc_ids"], pdf["doc_lens"]),
+                      key=lambda r: int(r[0]))
+        for seg, ir, lr in rows:
+            seg = int(seg)
+            i = np.frombuffer(ir, dtype="<i8")
+            ln = np.frombuffer(lr, dtype="<f4")
             if ids is None:
-                ids, lens, segs = i, ln, np.full(len(i), seg, dtype=np.int64)
+                ids, lens = i, ln
+                segs = np.full(len(i), seg, dtype=np.int64)
                 continue
             all_ids = np.union1d(ids, i)
             new_lens = np.empty(len(all_ids), dtype=np.float32)
@@ -65,23 +78,39 @@ def compact_index(spark: SparkSession, index_path: str, out_path: str) -> Search
                 new_lens[m] = src_lens[pos_c[m]]
                 new_segs[m] = segs[pos_c[m]] if src_seg is None else src_seg
             ids, lens, segs = all_ids, new_lens, new_segs
-        if b in tomb:
-            t_ids, t_segs = tomb[b]
+        t_entry = tomb_bc.value.get(b)
+        if t_entry is not None:
+            t_ids, t_segs = t_entry
             pos = np.searchsorted(t_ids, ids)
             pos_c = np.minimum(pos, len(t_ids) - 1)
             hit = t_ids[pos_c] == ids
             dead = hit & (t_segs[pos_c] > segs)
             ids, lens = ids[~dead], lens[~dead]
-        if len(ids):
-            final_dl[b] = (ids, lens)
+        if not len(ids):
+            return pd.DataFrame({
+                "block_id": pd.Series([], dtype="int64"),
+                "doc_ids": pd.Series([], dtype=object),
+                "doc_lens": pd.Series([], dtype=object)})
+        return pd.DataFrame({
+            "block_id": [b],
+            "doc_ids": [ids.astype("<i8").tobytes()],
+            "doc_lens": [lens.astype("<f4").tobytes()]})
 
-    dl_bc = spark.sparkContext.broadcast(
-        {b: (i.astype("<i8").tobytes(), ln.astype("<f4").tobytes())
-         for b, (i, ln) in final_dl.items()})
-    tomb_bc = spark.sparkContext.broadcast(tomb)
+    dl_path = os.path.join(out_path, "doclens")
+    idx.doclens.groupBy("block_id").applyInPandas(
+        compact_doclens, "block_id long, doc_ids binary, doc_lens binary") \
+        .repartitionByRange(n_parts, "block_id") \
+        .sortWithinPartitions("block_id") \
+        .write.mode("overwrite") \
+        .option("parquet.block.size", str(PARQUET_ROW_GROUP_BYTES)) \
+        .parquet(dl_path)
 
-    # --- postings rewrite: per (term, block) merge rows, drop tombstoned
-    # docs, recompute df/tf_total/tf_max/dl_min
+    # block->file map over the COMPACTED doclens (O(files) footer reads);
+    # each rewrite task reads only the file(s) covering its block
+    reader = DoclensReader(scan_doclens_ranges([(0, dl_path)]))
+
+    # --- 2. postings rewrite: per (term, block) merge rows, drop
+    # tombstoned docs, recompute df/tf_total/tf_max/dl_min
     out_schema = ("term string, block_id long, postings binary, df long, "
                   "tf_total long, tf_max long, dl_min long")
 
@@ -108,7 +137,7 @@ def compact_index(spark: SparkSession, index_path: str, out_path: str) -> Search
                 "dl_min": pd.Series([], dtype="int64"),
             })
         ids, tfs = K.termfreqs(arr)
-        dl_raw = dl_bc.value.get(block_id)
+        dl_raw = reader.get(block_id)
         dl_ids = np.frombuffer(dl_raw[0], dtype="<i8")
         dl_lens = np.frombuffer(dl_raw[1], dtype="<f4")
         dls = dl_lens[np.searchsorted(dl_ids, ids)]
@@ -119,33 +148,36 @@ def compact_index(spark: SparkSession, index_path: str, out_path: str) -> Search
             "dl_min": [int(dls.min())],
         })
 
-    from .indexing import (PARQUET_ROW_GROUP_BYTES, bounds_granularity,
-                           write_postings_table, write_term_stats)
-
-    n_parts = max(4, spark.sparkContext.defaultParallelism)
     new_posts = idx.postings.groupBy("term", "block_id").applyInPandas(
         rewrite, out_schema)
     srg = write_postings_table(new_posts, os.path.join(out_path, "postings"),
                                n_parts)
 
-    dl_out = spark.createDataFrame(
-        [(b, i.astype("<i8").tobytes(), ln.astype("<f4").tobytes())
-         for b, (i, ln) in sorted(final_dl.items())],
-        "block_id long, doc_ids binary, doc_lens binary")
-    dl_out.repartitionByRange(n_parts, "block_id") \
-        .sortWithinPartitions("block_id") \
-        .write.mode("overwrite") \
-        .option("parquet.block.size", str(PARQUET_ROW_GROUP_BYTES)) \
-        .parquet(os.path.join(out_path, "doclens"))
+    # --- 3. corpus stats + granularity: one distributed pass over the
+    # small packed doclens table (O(partitions) rows to the driver)
+    def _dl_stats(it):
+        n = 0
+        tot = 0.0
+        mb = -1
+        for pdf in it:
+            for b, lr in zip(pdf["block_id"], pdf["doc_lens"]):
+                ln = np.frombuffer(lr, dtype="<f4")
+                n += len(ln)
+                tot += float(ln.sum())
+                mb = max(mb, int(b))
+        yield pd.DataFrame({"n": [n], "tot": [tot], "mb": [mb]})
 
-    n_blocks = (max(final_dl) + 1) if final_dl else 1
+    parts = spark.read.parquet(dl_path).mapInPandas(
+        _dl_stats, "n long, tot double, mb long").collect()
+    num_docs = int(sum(r["n"] for r in parts))
+    total_tokens = float(sum(r["tot"] for r in parts))
+    max_block = max((r["mb"] for r in parts), default=-1)
+
+    n_blocks = (max_block + 1) if max_block >= 0 else 1
     granularity = bounds_granularity(n_blocks)
     write_term_stats(spark.read.parquet(os.path.join(out_path, "postings")),
                      os.path.join(out_path, "term_stats"),
                      max(1, n_parts // 4), granularity)
-
-    num_docs = int(sum(len(i) for i, _ in final_dl.values()))
-    total_tokens = float(sum(ln.sum() for _, ln in final_dl.values()))
     meta = dict(idx.meta)
     meta.update({
         "format_version": 4,
