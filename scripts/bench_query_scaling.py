@@ -108,6 +108,7 @@ def main():
     # best per level keeps one burst from sinking a whole level
     windows = int(os.environ.get("BENCH_WINDOWS", "2"))
     results = {}
+    raw = {}
 
     def merge(a, b):
         if a is None:
@@ -135,6 +136,7 @@ def main():
                 print(proc.stdout[-3000:], proc.stderr[-3000:])
                 raise RuntimeError(f"worker {cpus} failed (window {w})")
             got = json.loads(line[-1][len("WORKER_RESULT "):])
+            raw.setdefault(cpus, []).append(got)
             results[cpus] = merge(results.get(cpus), got)
             print(f"window {w} local[{cpus}]: total={got['total_query_secs']}s "
                   f"sustained_qps={got['sustained_qps']}", file=sys.stderr)
@@ -142,8 +144,12 @@ def main():
     factor = large_n / small_n
     result = {
         "n_docs": n_docs,
+        # headline numbers are BEST-OF-N interleaved windows per level
+        # (anti-CPU-steal protocol); every raw window is disclosed below
+        "protocol": f"best-of-{windows} interleaved windows",
         f"local{small_n}": small,
         f"local{large_n}": large,
+        "windows_raw": {f"local{c}": v for c, v in raw.items()},
         "scaling_efficiency_query_sustained": round(
             (large["sustained_qps"] / small["sustained_qps"]) / factor, 3),
         "scaling_efficiency_query_serial": round(

@@ -193,6 +193,7 @@ def main():
     # closest local approximation of repeated uncontended cluster runs.
     windows = int(os.environ.get("BENCH_WINDOWS", "2"))
     results = {}
+    raw = {}
 
     def merge(a, b):
         if a is None:
@@ -226,6 +227,7 @@ def main():
                 print(proc.stdout[-3000:], proc.stderr[-3000:])
                 raise RuntimeError(f"worker {cpus} failed (window {w})")
             got = json.loads(line[-1][len("WORKER_RESULT "):])
+            raw.setdefault(cpus, []).append(got)
             results[cpus] = merge(results.get(cpus), got)
             print(f"window {w} local[{cpus}]: build={got['build_secs']}s "
                   f"sustained_qps={got['sustained_qps']}", file=sys.stderr)
@@ -233,8 +235,12 @@ def main():
     factor = large_n / small_n
     result = {
         "n_docs": n_docs,
+        # headline numbers are BEST-OF-N interleaved windows per level
+        # (anti-CPU-steal protocol); every raw window is disclosed below
+        "protocol": f"best-of-{windows} interleaved windows",
         f"local{small_n}": small,
         f"local{large_n}": large,
+        "windows_raw": {f"local{c}": v for c, v in raw.items()},
         "scaling_efficiency_build": round(
             (small["build_secs"] / large["build_secs"]) / factor, 3),
         "scaling_efficiency_query_batch": round(

@@ -270,6 +270,21 @@ class SearchIndex:
         self.docs_per_block = int(self.meta["docs_per_block"])
         self.num_docs = int(self.meta["num_docs"])
         self.avg_doc_len = float(self.meta["avg_doc_len"])
+        self.total_tokens = float(self.meta.get("total_tokens") or 0.0)
+        # as-built doc-id space: dense (test-parity) outputs keep this
+        # shape even after deletes shrink the LIVE num_docs below it
+        self.capacity = int(self.meta["num_docs"])
+        patch = os.path.join(path, "stats_patch.json")
+        if os.path.exists(patch):
+            # live corpus stats after delete/update ops (exact deltas
+            # applied by _patch_stats; compact resets by writing exact
+            # stats into meta and no patch file)
+            with open(patch) as fh:
+                p = json.load(fh)
+            self.num_docs = int(p["num_docs"])
+            self.total_tokens = float(p["total_tokens"])
+            self.avg_doc_len = (self.total_tokens / self.num_docs
+                                if self.num_docs else 0.0)
         if tokenizer is not None:
             self.tokenizer = tokenizers.resolve(tokenizer)
         elif self.meta["tokenizer"] == "custom":
@@ -354,25 +369,37 @@ class SearchIndex:
 
     def delete_docs(self, doc_ids) -> None:
         """Tombstone docs: they stop matching every query immediately.
-        Corpus stats remain as-built until compact() (documented
-        Lucene-like divergence)."""
+        Corpus stats (num_docs, total_tokens -> avg_doc_len) are patched
+        EXACTLY: the currently-live lengths of the deleted docs are
+        subtracted (stats_patch.json, survives reopen). Per-term df
+        corrections happen lazily at query time (_df_corrections), so
+        idf stays exact between compactions."""
+        ids = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+        if not len(ids):
+            return
+        live, lens = self._live_lens(ids)
         epoch = self._next_epoch()
         df = self.spark.createDataFrame(
-            [(int(d), epoch) for d in doc_ids], "doc_id long, seg long")
+            [(int(d), epoch) for d in ids.tolist()], "doc_id long, seg long")
         df.coalesce(1).write.mode("append").parquet(
             os.path.join(self.path, "tombstones"))
         self._invalidate_caches()
+        self._patch_stats(-int(live.sum()), -float(lens[live].sum()))
 
     def update_docs(self, docs: DataFrame, text_col: str = "text") -> None:
         """Replace docs in place (same doc ids): tombstone the old
         content and write a new index segment holding the new content.
-        ``docs`` must carry (doc_id, text)."""
+        ``docs`` must carry (doc_id, text). Corpus stats are patched
+        exactly (new segment totals replace the docs' old live lengths);
+        with the lazy df corrections this keeps post-update BM25 scores
+        equal to a compacted index's — no idf staleness window."""
         from .indexing import build_index
 
         epoch = self._next_epoch()
         ids = [int(r["doc_id"]) for r in docs.select("doc_id").collect()]
         if not ids:
             return
+        live, lens = self._live_lens(np.asarray(ids, dtype=np.int64))
         seg_path = os.path.join(self.path, "updates", f"seg={epoch}")
         build_index(self.spark, docs, seg_path, text_col=text_col,
                     doc_id_col="doc_id",
@@ -385,6 +412,122 @@ class SearchIndex:
         tdf.coalesce(1).write.mode("append").parquet(
             os.path.join(self.path, "tombstones"))
         self._invalidate_caches()
+        seg_meta = self._seg_meta(epoch)
+        self._patch_stats(
+            int(seg_meta["num_docs"]) - int(live.sum()),
+            float(seg_meta.get("total_tokens") or 0.0) - float(lens[live].sum()))
+
+    def _patch_stats(self, delta_docs: int, delta_tokens: float) -> None:
+        """Apply an exact corpus-stats delta and persist it atomically so
+        reopened handles see the live num_docs / avg_doc_len.
+        compact_index writes exact stats into meta.json and the fresh
+        index has no patch file."""
+        self.num_docs = int(self.num_docs + delta_docs)
+        self.total_tokens = float(self.total_tokens + delta_tokens)
+        self.avg_doc_len = (self.total_tokens / self.num_docs
+                            if self.num_docs else 0.0)
+        tmp = os.path.join(self.path, "stats_patch.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"num_docs": self.num_docs,
+                       "total_tokens": self.total_tokens}, fh)
+        os.replace(tmp, os.path.join(self.path, "stats_patch.json"))
+
+    def _live_lens(self, ids: np.ndarray):
+        """(live_mask, doc_len) per unique GLOBAL doc id against the
+        CURRENT state: update segments patch lengths by seg priority; a
+        doc is live unless its newest tombstone outranks its newest
+        doclens row (the query kernel's exclusion rule). Driver-side
+        reads over only the doclens files covering the touched blocks —
+        O(touched blocks), bounded by the delete/update batch size."""
+        ids = np.unique(np.asarray(ids, dtype=np.int64))
+        live = np.zeros(len(ids), dtype=bool)
+        lens = np.zeros(len(ids), dtype=np.float32)
+        blocks = ids // self.docs_per_block
+        local = ids % self.docs_per_block
+        ranges = self._doclens_file_ranges()
+        tomb = self._tombstones()
+        for b in np.unique(blocks):
+            m = blocks == b
+            tgt = local[m]
+            rows = []
+            for seg, path, lo, hi in ranges:
+                if lo <= b <= hi:
+                    row = _load_doclens_file(path).get(int(b))
+                    if row is not None:
+                        rows.append((seg, row[0], row[1]))
+            if not rows:
+                continue
+            best_seg = np.full(len(tgt), -1, dtype=np.int64)
+            best_len = np.zeros(len(tgt), dtype=np.float32)
+            for seg, ib, lb in sorted(rows, key=lambda r: r[0]):
+                di = np.frombuffer(ib, dtype="<i8")
+                if not len(di):
+                    continue
+                dl = np.frombuffer(lb, dtype="<f4")
+                pos = np.minimum(np.searchsorted(di, tgt), len(di) - 1)
+                hit = di[pos] == tgt
+                best_seg[hit] = seg
+                best_len[hit] = dl[pos[hit]]
+            found = best_seg >= 0
+            t_entry = tomb.get(int(b))
+            if t_entry is not None:
+                t_ids, t_segs = t_entry
+                pos = np.minimum(np.searchsorted(t_ids, tgt),
+                                 max(len(t_ids) - 1, 0))
+                t_hit = len(t_ids) > 0
+                t_hit = (t_ids[pos] == tgt) if t_hit else np.zeros(len(tgt), bool)
+                dead = t_hit & (t_segs[pos] > best_seg)
+                found &= ~dead
+            live[m] = found
+            lv = lens[m]
+            lv[found] = best_len[found]
+            lens[m] = lv
+        return live, lens
+
+    def _df_corrections(self, terms: Sequence[str]) -> dict:
+        """Exact per-term df adjustment for tombstoned docs: for each
+        posting row of a term in a tombstoned block, count the doc keys
+        killed by a LATER tombstone — the same exclusion the query
+        kernel applies, so df matches what scoring actually sees. ONE
+        tiny Spark job restricted to (queried terms) x (tombstoned
+        blocks); zero cost on clean indexes, O(deletes)-bounded after
+        deletes/updates. Negative values (counts to subtract)."""
+        tomb = self._tombstones()
+        if not tomb or not terms:
+            return {}
+        tomb_bc = self.spark.sparkContext.broadcast(tomb)
+        posts = self.postings.filter(
+            F.col("term").isin(list(terms)) &
+            F.col("block_id").isin([int(b) for b in tomb])) \
+            .select("term", "block_id", "seg", "postings")
+
+        def count_killed(it):
+            for pdf in it:
+                out_t, out_c = [], []
+                for term, b, seg, raw in zip(pdf["term"], pdf["block_id"],
+                                             pdf["seg"], pdf["postings"]):
+                    t_entry = tomb_bc.value.get(int(b))
+                    if t_entry is None:
+                        continue
+                    excl = t_entry[0][t_entry[1] > int(seg)]
+                    if not len(excl):
+                        continue
+                    arr = K.from_bytes(raw)
+                    if not len(arr):
+                        continue
+                    ids, _ = K.termfreqs(arr)
+                    pos = np.minimum(np.searchsorted(excl, ids),
+                                     len(excl) - 1)
+                    killed = int((excl[pos] == ids).sum())
+                    if killed:
+                        out_t.append(term)
+                        out_c.append(killed)
+                yield pd.DataFrame({"term": pd.Series(out_t, dtype=object),
+                                    "killed": pd.Series(out_c, dtype="int64")})
+
+        rows = posts.mapInPandas(count_killed, "term string, killed long") \
+            .groupBy("term").agg(F.sum("killed").alias("k")).collect()
+        return {r["term"]: -int(r["k"]) for r in rows}
 
     def _invalidate_caches(self) -> None:
         self._tomb_cache = None
@@ -554,16 +697,21 @@ class SearchIndex:
                           .astype(np.int64),
                         np.frombuffer(r["grp_dl_min"], dtype="<i4")
                           .astype(np.int64))
-                df_base, parts = by_term.get(r["term"], (0, []))
-                if r["is_base"]:
-                    df_base = int(r["df"])
+                # df sums over ALL sources (base + update segments);
+                # docs double-counted across sources or tombstoned are
+                # subtracted exactly by _df_corrections below
+                df_sum, parts = by_term.get(r["term"], (0, []))
+                df_sum += int(r["df"])
                 parts.append(part)
-                by_term[r["term"]] = (df_base, parts)
+                by_term[r["term"]] = (df_sum, parts)
+            corr = self._df_corrections(
+                [t for t in missing if t in by_term])
             for t in missing:
                 if t in by_term:
-                    df_b, parts = by_term[t]
-                    self._sketch_cache[t] = TermSketch(df_b, parts)
-                    self._df_cache.setdefault(t, df_b)
+                    df_s, parts = by_term[t]
+                    df_exact = max(0, df_s + corr.get(t, 0))
+                    self._sketch_cache[t] = TermSketch(df_exact, parts)
+                    self._df_cache.setdefault(t, df_exact)
                 else:
                     self._sketch_cache[t] = None
                     self._df_cache.setdefault(t, 0)
@@ -1189,21 +1337,21 @@ class SearchIndex:
     # --- dense helpers (test parity at small scale only) ------------------
     def termfreqs_dense(self, token: TokenArg, **kw) -> np.ndarray:
         rows = self.termfreqs(token, **kw).collect()
-        out = np.zeros(self.num_docs, dtype=np.float32)
+        out = np.zeros(self.capacity, dtype=np.float32)
         for r in rows:
             out[r["doc_id"]] = r["tf"]
         return out
 
     def score_dense(self, token: TokenArg, similarity=None, **kw) -> np.ndarray:
         rows = self.score(token, similarity=similarity, **kw).collect()
-        out = np.zeros(self.num_docs, dtype=np.float32)
+        out = np.zeros(self.capacity, dtype=np.float32)
         for r in rows:
             out[r["doc_id"]] = r["score"]
         return out
 
     def doclengths_dense(self) -> np.ndarray:
         rows = self.doclengths().collect()
-        out = np.zeros(self.num_docs, dtype=np.float32)
+        out = np.zeros(self.capacity, dtype=np.float32)
         for r in rows:
             out[r["doc_id"]] = r["doc_len"]
         return out

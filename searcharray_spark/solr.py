@@ -96,21 +96,23 @@ def _exact_term_hits(idx: SearchIndex, toks: List[str], boost: float) -> DataFra
     idf/avgdl come from the index tables, so an ANSI-SQL oracle computing
     the same expression from raw tokens matches value-for-value.
 
-    N and avgdl are aggregated together from the LIVE docstats (update
-    segments included), so the exact path is self-consistent after
-    delete/update — unlike the float32 kernel path, whose stats stay
-    as-built until compact() (documented Lucene-like divergence)."""
+    N, avgdl, and per-term df come from the LIVE driver stats
+    (idx.num_docs / idx.avg_doc_len carry the exact delete/update patch;
+    idx.docfreqs applies the exact lazy df corrections), so the exact
+    path agrees with the kernel path at all times. Doc lengths are
+    integer token counts, so these sums are exact in doubles and the
+    values are bit-identical to an oracle aggregating raw tokens on a
+    clean index."""
     spark = idx.spark
     hits = idx.score_many(toks).select("token_idx", "doc_id", "tf")
+    dfs = idx.docfreqs(toks)
     toks_df = spark.createDataFrame(
-        [(i, t) for i, t in enumerate(toks)], "token_idx int, term string")
-    stats = idx.term_stats.filter(F.col("term").isin(toks)).select("term", "df")
-    avgdl_df = idx.docstats.agg(F.avg("doc_len").alias("_avgdl"),
-                                F.count("*").alias("_n"))
+        [(i, t, int(dfs[t])) for i, t in enumerate(toks)],
+        "token_idx int, term string, df long")
     hits = hits.join(F.broadcast(toks_df), "token_idx") \
-        .join(F.broadcast(stats), "term") \
         .join(idx.docstats.select("doc_id", "doc_len"), "doc_id") \
-        .crossJoin(F.broadcast(avgdl_df))
+        .withColumn("_n", F.lit(int(idx.num_docs)).cast("long")) \
+        .withColumn("_avgdl", F.lit(float(idx.avg_doc_len)))
     idf = F.log(F.lit(1.0) + (F.col("_n") - F.col("df") + 0.5)
                 / (F.col("df") + 0.5))
     tfd = F.col("tf").cast("double")

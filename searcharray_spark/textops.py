@@ -33,6 +33,12 @@ def _round6(col: Column) -> Column:
     sequence of double ops in both engines, so results are bit-identical
     (oracle SQL uses the identical formula). Used for EVERY rounded
     output column in this package.
+
+    Convention for NEGATIVE inputs (e.g. cosine similarities): halves
+    round toward +inf (-0.0000005 -> -0.0, not -0.000001), unlike
+    HALF_UP's away-from-zero. Deliberate: the oracle SQL applies the
+    same formula, so both engines agree; only the half-ulp boundary of
+    negative values differs from a HALF_UP convention.
     """
     return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
 

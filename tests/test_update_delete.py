@@ -3,8 +3,9 @@
 Semantics mirror the reference's __setitem__ / delete behavior
 (/root/reference/searcharray/postings.py:360-425, test_update_rows.py):
 updated docs keep their ids and immediately reflect the new content;
-deleted docs stop matching. Corpus stats stay as-built until
-compact_index (documented Lucene-like divergence).
+deleted docs stop matching. Corpus stats (num_docs, avg_doc_len) and
+per-term df are patched EXACTLY after each op (stats_patch.json + lazy
+df corrections), so live scores equal a compacted index's.
 """
 import numpy as np
 import pytest
@@ -48,7 +49,7 @@ def test_update_docs_in_place(idx, spark):
     tf = tf_dense(idx, "bar")
     assert tf[2] == 3  # new content, same doc id
     assert tf_dense(idx, "data3")[2] == 0  # old content gone
-    assert tf_dense(idx, "fresh")[2] == 1  # new term matches (df stale, scored high)
+    assert tf_dense(idx, "fresh")[2] == 1  # new term matches (df exact: 1)
     # doc length patched: 4 tokens
     dl = {r["doc_id"]: r["doc_len"] for r in idx.doclengths().collect()}
     assert dl[2] == 4.0
@@ -93,6 +94,51 @@ def test_compact_matches_fresh_build(idx, spark, tmp_path):
     assert np.array_equal(compacted.score_dense("bar"), fresh.score_dense("bar"))
     assert np.array_equal(compacted.termfreqs_dense(["foo", "bar"]),
                           fresh.termfreqs_dense(["foo", "bar"]))
+
+
+def test_incremental_stats_exact_after_update(idx, spark, tmp_path):
+    """df / avgdl / num_docs are patched EXACTLY after delete/update
+    (lazy per-term df corrections + stats_patch.json), so BM25 scores on
+    the live index equal a compacted index's — no idf staleness window
+    (ROADMAP #3 closed)."""
+    idx.delete_docs([1])
+    idx.update_docs(spark.createDataFrame(
+        [(2, "bar bar fresh fresh"), (5, "foo bar")],
+        "doc_id long, text string"))
+
+    compacted = compact_index(spark, idx.path, str(tmp_path / "cmp"))
+    assert idx.num_docs == compacted.num_docs
+    assert idx.avg_doc_len == pytest.approx(compacted.avg_doc_len)
+    # df exact for every touched class: shrunk (data2 deleted), grown
+    # (fresh added twice in one doc, foo added), replaced (bar)
+    for t in ["bar", "foo", "baz", "data2", "data3", "fresh", "bunny"]:
+        assert idx.docfreq(t) == compacted.docfreq(t), t
+    # scores identical on live vs compacted — term, phrase, and top-k
+    for tok in ["bar", "fresh", ["foo", "bar"]]:
+        live = {r["doc_id"]: r["score"] for r in idx.score(tok).collect()}
+        cmp_ = {r["doc_id"]: r["score"]
+                for r in compacted.score(tok).collect()}
+        assert live == cmp_, tok
+    # a REOPENED handle sees the patched stats (stats_patch.json)
+    from searcharray_spark.index import SearchIndex
+    re_idx = SearchIndex(spark, idx.path)
+    assert re_idx.num_docs == idx.num_docs
+    assert re_idx.avg_doc_len == idx.avg_doc_len
+    assert re_idx.docfreq("bar") == idx.docfreq("bar")
+
+
+def test_incremental_stats_delete_only(idx):
+    """Pure deletes (no update segment) patch stats exactly too, and
+    repeated deletes of the same doc don't double-subtract."""
+    n0, t0 = idx.num_docs, idx.total_tokens
+    idx.delete_docs([0])          # "foo bar bar baz" = 4 tokens
+    assert idx.num_docs == n0 - 1
+    assert idx.total_tokens == pytest.approx(t0 - 4.0)
+    idx.delete_docs([0])          # already dead: no-op on stats
+    assert idx.num_docs == n0 - 1
+    assert idx.total_tokens == pytest.approx(t0 - 4.0)
+    assert idx.docfreq("bar") == 5   # was 6 (docs 0,2,4,6,8,10); 0 dead
+    assert idx.docfreq("foo") == 2   # was 3 (docs 0,4,8); 0 dead
 
 
 def test_side_input_doclens_with_update_segments(idx, spark, tmp_path):
