@@ -240,6 +240,155 @@ def assign_doc_ids(df: DataFrame, order_col: str, num_partitions: Optional[int] 
     return part.mapInPandas(_assign, out_schema)
 
 
+# corpora at or below this many docs (and <= SMALL_BUILD_MAX_BYTES of
+# text) build driver-locally: the SAME per-block kernel and the SAME
+# on-disk layout (single-row-group files, block-range partitioning,
+# term-sorted postings, sketches), but via pyarrow writes instead of
+# ~10 Spark jobs whose fixed scheduling overhead dominates at toy scale.
+# This is the update-segment / streaming-micro-batch / small-bench path;
+# large builds are untouched.
+SMALL_BUILD_MAX_DOCS = 16384
+SMALL_BUILD_MAX_BYTES = 64 << 20
+
+
+def _write_pq_single_rg(path: str, pdf: pd.DataFrame, schema) -> None:
+    """One parquet file, ONE row group, pyarrow writer (driver-local)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    table = pa.Table.from_pandas(pdf, schema=schema, preserve_index=False)
+    pq.write_table(table, path, row_group_size=max(1, len(pdf)),
+                   compression="snappy")
+
+
+def _build_index_local(spark, pdf: pd.DataFrame, index_path: str, builder,
+                       docs_per_block: int, n_blocks: int,
+                       term_partitions: int, tokenizer_name: str,
+                       truncate: bool, t_start: float, tokenizer_fn):
+    """Driver-local build for small corpora — bit-compatible layout.
+
+    Used for update segments, streaming micro-batches, and small
+    benchmarks; produces exactly the tables the distributed path writes
+    (postings/doclens block-range partitioned, one row group per file,
+    term-sorted postings, per-term sketches) without Spark jobs.
+    """
+    import pyarrow as pa
+
+    from .index import SearchIndex
+
+    pdf = pdf.sort_values(["block_id", "doc_id"], kind="stable")
+    stage_parts = [builder(grp) for _, grp in pdf.groupby("block_id", sort=True)]
+    stage = pd.concat(stage_parts, ignore_index=True) if stage_parts else \
+        pd.DataFrame(columns=[f.name for f in STAGE_SCHEMA.fields])
+
+    posts = stage[stage["kind"] == "p"]
+    dls = stage[stage["kind"] == "d"]
+
+    # block-range partitioning: contiguous block ranges per file so every
+    # block's rows (all terms) share a file — the zero-shuffle invariant
+    blocks = np.sort(dls["block_id"].to_numpy(dtype=np.int64))
+    n_files = max(1, min(term_partitions, len(blocks)))
+    bounds = ([int(blocks[int(len(blocks) * i / n_files)])
+               for i in range(n_files)] if len(blocks) else [0])
+
+    def file_of(block_col: np.ndarray) -> np.ndarray:
+        return np.maximum(
+            np.searchsorted(np.asarray(bounds), block_col, side="right") - 1, 0)
+
+    posts_schema = pa.schema([
+        ("term", pa.string()), ("block_id", pa.int64()),
+        ("postings", pa.binary()), ("df", pa.int64()),
+        ("tf_total", pa.int64()), ("tf_max", pa.int64()),
+        ("dl_min", pa.int64())])
+    p_dir = os.path.join(index_path, "postings")
+    os.makedirs(p_dir, exist_ok=True)
+    p_cols = ["term", "block_id", "postings", "df", "tf_total", "tf_max",
+              "dl_min"]
+    p_file = file_of(posts["block_id"].to_numpy(dtype=np.int64)) \
+        if len(posts) else np.zeros(0, dtype=np.int64)
+    for i in range(n_files):
+        part = posts[p_file == i].sort_values(["term", "block_id"],
+                                              kind="stable")[p_cols]
+        part = part.astype({"block_id": "int64", "df": "int64",
+                            "tf_total": "int64", "tf_max": "int64",
+                            "dl_min": "int64"}, errors="ignore")
+        _write_pq_single_rg(
+            os.path.join(p_dir, f"part-{i:05d}.parquet"), part, posts_schema)
+
+    dl_schema = pa.schema([
+        ("block_id", pa.int64()), ("doc_ids", pa.binary()),
+        ("doc_lens", pa.binary())])
+    d_dir = os.path.join(index_path, "doclens")
+    os.makedirs(d_dir, exist_ok=True)
+    d_file = file_of(dls["block_id"].to_numpy(dtype=np.int64)) \
+        if len(dls) else np.zeros(0, dtype=np.int64)
+    for i in range(n_files):
+        part = dls[d_file == i].sort_values("block_id", kind="stable")[
+            ["block_id", "doc_ids", "doc_lens"]].astype({"block_id": "int64"})
+        _write_pq_single_rg(
+            os.path.join(d_dir, f"part-{i:05d}.parquet"), part, dl_schema)
+
+    # per-term sketches: same two-phase agg as write_term_stats, in pandas
+    granularity = bounds_granularity(n_blocks)
+    ts_dir = os.path.join(index_path, "term_stats")
+    os.makedirs(ts_dir, exist_ok=True)
+    ts_schema = pa.schema([
+        ("term", pa.string()), ("df", pa.int64()), ("tf_total", pa.int64()),
+        ("n_blocks", pa.int64()), ("grp_ids", pa.binary()),
+        ("grp_tf_max", pa.binary()), ("grp_dl_min", pa.binary())])
+    if len(posts):
+        p2 = posts.assign(grp=posts["block_id"].to_numpy(dtype=np.int64)
+                          // granularity)
+        agg = p2.groupby(["term", "grp"], sort=True).agg(
+            df=("df", "sum"), tf_total=("tf_total", "sum"),
+            tf_max=("tf_max", "max"), dl_min=("dl_min", "min"),
+            n_blocks=("block_id", "nunique")).reset_index()
+        rows = []
+        for term, g in agg.groupby("term", sort=True):
+            rows.append((
+                term, int(g["df"].sum()), int(g["tf_total"].sum()),
+                int(g["n_blocks"].sum()),
+                g["grp"].to_numpy(dtype=np.int64).astype("<i4").tobytes(),
+                g["tf_max"].to_numpy(dtype=np.int64).astype("<i4").tobytes(),
+                g["dl_min"].to_numpy(dtype=np.int64).astype("<i4").tobytes()))
+        ts_pdf = pd.DataFrame(rows, columns=[
+            "term", "df", "tf_total", "n_blocks", "grp_ids", "grp_tf_max",
+            "grp_dl_min"])
+    else:
+        ts_pdf = pd.DataFrame(columns=[
+            "term", "df", "tf_total", "n_blocks", "grp_ids", "grp_tf_max",
+            "grp_dl_min"])
+    _write_pq_single_rg(os.path.join(ts_dir, "part-00000.parquet"),
+                        ts_pdf, ts_schema)
+
+    num_docs = int(sum(len(b) // 8 for b in dls["doc_ids"]))
+    total_tokens = float(sum(
+        np.frombuffer(b, dtype="<f4").sum() for b in dls["doc_lens"]))
+    meta = {
+        "format_version": 4,
+        "tokenizer": tokenizer_name,
+        "docs_per_block": docs_per_block,
+        "truncate": truncate,
+        "num_docs": num_docs,
+        "avg_doc_len": (total_tokens / num_docs) if num_docs else 0.0,
+        "total_tokens": total_tokens,
+        "bounds_granularity": granularity,
+        "postings_single_row_group": True,  # by construction (verified)
+        "build_secs": round(time.time() - t_start, 3),
+        "built_local": True,
+    }
+    assert verify_single_row_group(p_dir)
+    with open(os.path.join(index_path, "meta.json"), "w") as fh:
+        json.dump(meta, fh, indent=2)
+    with open(os.path.join(index_path, "metrics.jsonl"), "a") as fh:
+        fh.write(json.dumps({
+            "stage": "finalize", "num_docs": num_docs,
+            "total_tokens": total_tokens, "secs": meta["build_secs"],
+            "docs_per_sec": round(num_docs / max(meta["build_secs"], 1e-9), 1),
+            "local_build": True,
+        }) + "\n")
+    return SearchIndex(spark, index_path, tokenizer=tokenizer_fn)
+
+
 def _make_block_builder(tokenizer_fn, docs_per_block: int, truncate: bool,
                         max_words_per_row: int = 131072,
                         pretokenized: bool = False):
@@ -390,12 +539,41 @@ def build_index(
 
     df = df.withColumn("block_id", F.floor(F.col("doc_id") / F.lit(docs_per_block)))
 
+    # ONE metadata job: max id (-> block count), row count and text bytes
+    # (-> small-build eligibility)
+    aggs = [F.max("doc_id").alias("mx"), F.count(F.lit(1)).alias("cnt")]
+    if tokens_col is None:
+        aggs.append(F.sum(F.octet_length("text")).alias("tb"))
+    head = df.agg(*aggs).collect()[0]
+    max_doc, n_rows = head["mx"], int(head["cnt"])
+    text_bytes = int(head["tb"] or 0) if tokens_col is None else None
+    n_blocks = int(max_doc // docs_per_block) + 1 if max_doc is not None else 1
+
+    builder = _make_block_builder(tokenizer_fn, docs_per_block, truncate,
+                                  max_words_per_row,
+                                  pretokenized=tokens_col is not None)
+
+    if (checkpoint_groups <= 1 and not resume
+            and n_rows <= SMALL_BUILD_MAX_DOCS
+            and (text_bytes is None or text_bytes <= SMALL_BUILD_MAX_BYTES)):
+        # driver-local fast path: identical layout, zero Spark jobs past
+        # this toPandas — update segments, streaming micro-batches, and
+        # toy benches skip ~10 jobs of fixed scheduling overhead
+        pdf = df.select("doc_id", "text", "block_id").toPandas()
+        for sub in ("postings", "doclens", "term_stats"):
+            import shutil as _sh
+            _sh.rmtree(os.path.join(index_path, sub), ignore_errors=True)
+        os.makedirs(index_path, exist_ok=True)
+        tp = term_partitions or max(
+            1, min(4, spark.sparkContext.defaultParallelism))
+        return _build_index_local(
+            spark, pdf, index_path, builder, docs_per_block, n_blocks, tp,
+            tokenizer_name, truncate, t_start, tokenizer_fn)
+
     # pre-partition by block so the per-block kernels get full cluster
     # parallelism (one-ish block per reducer); groupBy reuses this
     # partitioning, and an explicit count keeps AQE from coalescing the
     # CPU-heavy python stages onto a few reducers
-    max_doc = df.agg(F.max("doc_id")).collect()[0][0]
-    n_blocks = int(max_doc // docs_per_block) + 1 if max_doc is not None else 1
     parallelism = spark.sparkContext.defaultParallelism
     build_partitions = min(max(n_blocks, 1), max(4 * parallelism, 16))
     df = df.repartition(build_partitions, "block_id")
@@ -403,9 +581,6 @@ def build_index(
     stage_path = os.path.join(index_path, "stage")
     marker_dir = os.path.join(index_path, "_groups")
     os.makedirs(marker_dir, exist_ok=True)
-    builder = _make_block_builder(tokenizer_fn, docs_per_block, truncate,
-                                  max_words_per_row,
-                                  pretokenized=tokens_col is not None)
 
     groups = max(1, checkpoint_groups)
     metrics_path = os.path.join(index_path, "metrics.jsonl")
