@@ -274,6 +274,83 @@ def intersect_nearby_headers(encoded: List[np.ndarray],
     return out
 
 
+def mask_nearby_positions(encoded: List[np.ndarray],
+                          width: int) -> List[np.ndarray]:
+    """Bit-exact proximity pre-filter for span counting: in every array,
+    keep only the payload BITS within ``width`` positions of at least one
+    set bit in EVERY other array; words left empty are dropped. Requires
+    ``width <= 18`` (one adjacent posn block each side).
+
+    Strictly stronger than ``intersect_nearby_headers`` (whole-block
+    granularity): hot-term positions are filtered at position
+    granularity WITHOUT decoding — per word, the other term's bitmaps at
+    posn blocks (b-1, b, b+1) concatenate into a 54-bit lane, smear by
+    +-width (shift-OR), and the middle 18 bits mask this word's payload.
+    Cross-doc bleed is masked out (block 0 has no left neighbor within
+    the doc, MAX block no right).
+
+    COUNT-PRESERVING for spans.span_freqs, not just match-preserving:
+    every position inside a valid window of width <= ``width`` is within
+    ``width`` of an occurrence of every other term in that window (all
+    pairs in a window are), so it survives; a removed position is in no
+    valid window, and removing it changes neither coverage, the minimal
+    window Lmax at surviving events, nor greedy disjoint selection
+    (tests/test_spans.py property-checks this against the pure-Python
+    oracle).
+    """
+    if len(encoded) < 2 or width > 18:
+        return encoded
+    w = np.uint64(width)
+    lane18 = PAYLOAD_LSB_MASK
+    max_block = np.int64(MAX_POSN // 18)
+    comps = [(e >> MSB_SHIFT).astype(np.int64) for e in encoded]
+    payloads = [e & PAYLOAD_LSB_MASK for e in encoded]
+
+    def bitmaps_around(cj, bj, ci):
+        """(left, same, right) = cj's bitmaps at ci-1, ci, ci+1 — ONE
+        searchsorted; neighbors resolve by adjacency in the sorted cj."""
+        n = len(cj)
+        if n == 0:
+            z = np.zeros(len(ci), dtype=np.uint64)
+            return z, z, z
+        zero = np.uint64(0)
+        pos = np.searchsorted(cj, ci, side="left")
+        posc = np.minimum(pos, n - 1)
+        has_same = cj[posc] == ci
+        same = np.where(has_same, bj[posc], zero)
+        posl = np.maximum(pos - 1, 0)
+        left = np.where(cj[posl] == ci - 1, bj[posl], zero)
+        posr = np.minimum(pos + has_same, n - 1)
+        right = np.where(cj[posr] == ci + 1, bj[posr], zero)
+        return left, same, right
+
+    out = []
+    for i, e in enumerate(encoded):
+        ci = comps[i]
+        blk = ci & np.int64((1 << 18) - 1)
+        keep_bits = payloads[i].copy()
+        for j in range(len(encoded)):
+            if j == i or not keep_bits.any():
+                continue
+            left, same, right = bitmaps_around(comps[j], payloads[j], ci)
+            left[blk == 0] = 0              # previous word is another doc
+            right[blk == max_block] = 0     # next word is another doc
+            ext = left | (same << np.uint64(18)) | (right << np.uint64(36))
+            # bidirectional doubling smear: after each step ext covers
+            # +-covered positions; O(log width) shift-ORs
+            covered_w = 0
+            step = 1
+            while covered_w < width:
+                s = np.uint64(min(step, width - covered_w))
+                ext |= (ext << s) | (ext >> s)
+                covered_w += int(s)
+                step = covered_w  # next step may double the reach
+            keep_bits &= (ext >> np.uint64(18)) & lane18
+        nz = keep_bits != 0
+        out.append((e[nz] & ~PAYLOAD_LSB_MASK) | keep_bits[nz])
+    return out
+
+
 # ---------------------------------------------------------------------------
 # bigram / phrase matching
 # ---------------------------------------------------------------------------

@@ -110,15 +110,19 @@ def span_freqs(encoded: List[np.ndarray], slop: int) -> Tuple[np.ndarray, np.nda
         if len(cand) == 0:
             return _EMPTY_I64, _EMPTY_I64
 
-    # --- posn-block pre-intersection (reference _intersect_all, header
-    # +-1): hot-term words more than max_width positions from every
-    # other term's words can never sit in a valid window — drop them
-    # BEFORE decoding, so position decode volume is O(candidate windows),
-    # not O(hot-term corpus positions)
+    # --- proximity pre-filter BEFORE decoding, so position decode volume
+    # is O(candidate windows), not O(hot-term corpus positions). Small
+    # widths (the common slop) get the bit-exact cross-term mask
+    # (position granularity, count-preserving — kernels.
+    # mask_nearby_positions); wider windows fall back to posn-block
+    # pre-intersection (reference _intersect_all, header +-delta)
     sliced_all = [K.slice_keys(u, cand) for u in uniq]
     if n_terms > 1:
-        sliced_all = K.intersect_nearby_headers(sliced_all,
-                                                max_width // 18 + 1)
+        if max_width <= 18:
+            sliced_all = K.mask_nearby_positions(sliced_all, max_width)
+        else:
+            sliced_all = K.intersect_nearby_headers(sliced_all,
+                                                    max_width // 18 + 1)
         if any(len(s) == 0 for s in sliced_all):
             return _EMPTY_I64, _EMPTY_I64
 

@@ -306,3 +306,28 @@ def test_slice_keys_keeps_duplicate_words_per_doc():
     # and the intersect index-pair primitive keeps payload identity
     ia, ib = K._intersect_sorted(K.headers(packed), K.headers(packed))
     assert len(ia) == 4  # every header matches itself exactly once
+
+
+def test_mask_nearby_positions_bit_exact():
+    """Cross-term proximity mask: only bits within `width` of a set bit
+    in EVERY other array survive; empty words are dropped; cross-doc and
+    cross-boundary bleed handled."""
+    from searcharray_spark.kernels import encode, decode, mask_nearby_positions
+
+    # doc 0: a at 0, 17, 40; b at 19, 100  (17&19 straddle a block edge)
+    a = encode(np.array([0, 0, 0]), np.array([0, 17, 40]))
+    b = encode(np.array([0, 0]), np.array([19, 100]))
+    ma, mb = mask_nearby_positions([a, b], 2)
+    ia, pa = decode(ma)
+    ib, pb = decode(mb)
+    assert pa.tolist() == [17]      # 0 and 40 are >2 from any b
+    assert pb.tolist() == [19]      # 100 is >2 from any a
+    # doc boundary: a in doc 0 posn 17, b in doc 1 posn 0 — the adjacent
+    # HEADERS must not leak proximity across docs
+    a2 = encode(np.array([0]), np.array([17]))
+    b2 = encode(np.array([1]), np.array([0]))
+    ma2, mb2 = mask_nearby_positions([a2, b2], 18)
+    assert len(ma2) == 0 and len(mb2) == 0
+    # width > 18 is a no-op passthrough (caller falls back to block mode)
+    na, nb = mask_nearby_positions([a, b], 19)
+    assert np.array_equal(na, a) and np.array_equal(nb, b)

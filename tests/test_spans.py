@@ -124,7 +124,9 @@ def test_vectorized_matches_python_reference_random():
         for phrase in (["a", "b"], ["a", "b", "c"], ["the", "the"],
                        ["the", "a", "the"], ["a", "b", "c", "d", "e"]):
             encoded = [arrs.get(t, np.zeros(0, dtype=np.uint64)) for t in phrase]
-            for slop in (1, 2, 5):
+            # slop 1/2/5 drive the bit-exact proximity mask (width <= 18);
+            # slop 20 drives the posn-block fallback (width > 18)
+            for slop in (1, 2, 5, 20):
                 iv, cv = span_freqs(encoded, slop)
                 ip, cp = span_freqs_py(encoded, slop)
                 assert iv.tolist() == ip.tolist(), (trial, phrase, slop)
