@@ -831,10 +831,31 @@ class SearchIndex:
             needed &= {int(b) for b in block_ids}
         return sorted(needed)
 
+    def _hits_or(self, tokens: List[List[str]], similarity=None,
+                 block_ids: Optional[Sequence[int]] = None):
+        """(hits_df, combined) for an OR query. When every token of a doc
+        is guaranteed computed in ONE kernel call (grouped path, or
+        zero-shuffle over scan-aligned whole-file partitions), the kernel
+        SUMS scores per doc locally and emits one row per doc — the
+        downstream groupBy(doc_id) exchange disappears and top-k compiles
+        to TakeOrdered with no shuffle at all. Combined rows reuse
+        HITS_SCHEMA: token_idx = number of matching tokens (for mm),
+        tf/score = sums (float32; score summed in float64 then cast).
+        Falls back to per-token rows + caller groupBy when alignment
+        can't guarantee co-location (combined=False)."""
+        single = all(len(t) == 1 for t in tokens)
+        combinable = self._files_aligned() or not single
+        if not combinable:
+            return self._hits(tokens, similarity=similarity,
+                              block_ids=block_ids), False
+        return self._hits(tokens, similarity=similarity,
+                          block_ids=block_ids, or_combine=True), True
+
     def _hits(self, tokens: List[List[str]], similarity=None,
               min_posn: Optional[int] = None, max_posn: Optional[int] = None,
               slop: int = 0, block_ids: Optional[Sequence[int]] = None,
-              candidates: Optional[DataFrame] = None) -> DataFrame:
+              candidates: Optional[DataFrame] = None,
+              or_combine: bool = False) -> DataFrame:
         """(token_idx, doc_id, tf, score) for each query token (term or
         phrase), computed block-locally.
 
@@ -925,6 +946,27 @@ class SearchIndex:
                 out_score.append(np.asarray(scores, dtype=np.float32))
             if not out_tok:
                 return empty_out()
+            if or_combine:
+                # OR-combine inside the kernel: every token of this block
+                # was scored in this call, so the per-doc sum is final —
+                # no downstream groupBy(doc_id) exchange. token_idx
+                # carries the per-doc matching-token count (for mm).
+                doc = np.concatenate(out_doc)
+                uids, inv = np.unique(doc, return_inverse=True)
+                ssum = np.zeros(len(uids), dtype=np.float64)
+                np.add.at(ssum, inv, np.concatenate(out_score)
+                          .astype(np.float64))
+                tsum = np.zeros(len(uids), dtype=np.float64)
+                np.add.at(tsum, inv, np.concatenate(out_tf)
+                          .astype(np.float64))
+                nmatch = np.zeros(len(uids), dtype=np.int64)
+                np.add.at(nmatch, inv, 1)
+                return pd.DataFrame({
+                    "token_idx": nmatch.astype(np.int32),
+                    "doc_id": uids,
+                    "tf": tsum.astype(np.float32),
+                    "score": ssum.astype(np.float32),
+                })
             return pd.DataFrame({
                 "token_idx": np.concatenate(out_tok),
                 "doc_id": np.concatenate(out_doc),
@@ -1002,10 +1044,11 @@ class SearchIndex:
 
         if zero_shuffle:
             # single terms: every posting row is independent — stream
-            # batch by batch. Phrases: concatenate the partition's
-            # batches first so each block's terms sit in one frame
-            # (bounded: only the query terms' rows are in the scan).
-            stream = single_terms_only
+            # batch by batch. Phrases (and kernel-side OR-combine, which
+            # must see every token of a block at once): concatenate the
+            # partition's batches first so each block's terms sit in one
+            # frame (bounded: only the query terms' rows are in the scan).
+            stream = single_terms_only and not or_combine
 
             def map_kernel(it):
                 dl_get = make_dl_get()
@@ -1195,10 +1238,15 @@ class SearchIndex:
             bounds = self._block_bounds(tokens_list, sim_fn,
                                         cache_key=cache_key)
         if bounds is None:
-            hits = self._hits(tokens_list, similarity=similarity)
-            out = hits.groupBy("doc_id").agg(F.sum("score").alias("score")) \
-                .orderBy(F.desc("score"), F.asc("doc_id")).limit(k) \
-                .select("doc_id", F.col("score").cast("float"))
+            hits, combined = self._hits_or(tokens_list, similarity=similarity)
+            if combined:  # kernel-side per-doc sums: TakeOrdered, no shuffle
+                out = hits.orderBy(F.desc("score"), F.asc("doc_id")) \
+                    .limit(k).select("doc_id", F.col("score").cast("float"))
+            else:
+                out = hits.groupBy("doc_id") \
+                    .agg(F.sum("score").alias("score")) \
+                    .orderBy(F.desc("score"), F.asc("doc_id")).limit(k) \
+                    .select("doc_id", F.col("score").cast("float"))
             out._wand_blocks_scanned = -1  # exhaustive: no pruning ran
             out._wand_blocks_total = -1
             return out
@@ -1228,10 +1276,17 @@ class SearchIndex:
                 while i < len(blocks) and blocks[i][1] >= theta:
                     chunk.append(blocks[i][0])
                     i += 1
-            hits = self._hits(tokens_list, similarity=similarity,
-                              block_ids=chunk)
-            rows = hits.groupBy("doc_id").agg(F.sum("score").alias("score")) \
-                .orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
+            hits, combined = self._hits_or(tokens_list,
+                                           similarity=similarity,
+                                           block_ids=chunk)
+            if combined:  # per-doc sums already final: no exchange
+                rows = hits.orderBy(F.desc("score"), F.asc("doc_id")) \
+                    .limit(k).collect()
+            else:
+                rows = hits.groupBy("doc_id") \
+                    .agg(F.sum("score").alias("score")) \
+                    .orderBy(F.desc("score"), F.asc("doc_id")).limit(k) \
+                    .collect()
             scanned += len(chunk)
             best.extend((r["score"], r["doc_id"]) for r in rows)
             best.sort(key=lambda x: (-x[0], x[1]))
@@ -1304,8 +1359,19 @@ class SearchIndex:
     def search_or(self, tokens: Sequence[TokenArg], mm: int = 1,
                   similarity=None) -> DataFrame:
         """OR query: sum of per-token scores over docs matching >= mm
-        tokens. Returns (doc_id, score, n_matches)."""
-        hits = self.score_many(tokens, similarity=similarity)
+        tokens. Returns (doc_id, score, n_matches).
+
+        On scan-aligned indexes every token of a doc is scored in ONE
+        kernel call, so the per-doc sum happens kernel-side and the plan
+        has NO exchange (mm filter + top-k run straight off the scan);
+        otherwise one groupBy(doc_id) of the surviving rows."""
+        toks = [_normalize_token(t) for t in tokens]
+        hits, combined = self._hits_or(toks, similarity=similarity)
+        if combined:
+            return hits.select(
+                "doc_id", F.col("score").cast("double").alias("score"),
+                F.col("token_idx").cast("long").alias("n_matches"),
+            ).filter(F.col("n_matches") >= mm)
         return hits.groupBy("doc_id").agg(
             F.sum("score").alias("score"),
             F.countDistinct("token_idx").alias("n_matches"),
