@@ -496,10 +496,14 @@ class SearchIndex:
         if not tomb or not terms:
             return {}
         tomb_bc = self.spark.sparkContext.broadcast(tomb)
-        posts = self.postings.filter(
-            F.col("term").isin(list(terms)) &
-            F.col("block_id").isin([int(b) for b in tomb])) \
-            .select("term", "block_id", "seg", "postings")
+        posts = self.postings.filter(F.col("term").isin(list(terms)))
+        if len(tomb) <= 8192:
+            # push the tombstoned-block set into the scan; a mass delete
+            # touching more blocks skips the in-list (planner cost) and
+            # lets the kernel's per-block tomb lookup do the filtering
+            posts = posts.filter(
+                F.col("block_id").isin([int(b) for b in tomb]))
+        posts = posts.select("term", "block_id", "seg", "postings")
 
         def count_killed(it):
             for pdf in it:
