@@ -72,3 +72,40 @@ def test_multiterm_pruning_actually_prunes(skewed_index):
     out.collect()
     assert out._wand_blocks_scanned < out._wand_blocks_total, (
         out._wand_blocks_scanned, out._wand_blocks_total)
+
+
+def test_bounds_cache_not_keyed_by_id_reuse(skewed_index):
+    """Recreating a parameterized similarity per call must NOT hit a
+    stale bounds cache entry (id() reuse after GC made WAND pruning
+    silently unsound before round 4 — cache now keys on the callable
+    object itself, holding a strong reference)."""
+    from searcharray_spark.similarity import bm25_similarity
+
+    def run(k1):
+        # fresh closure each call, candidate for id reuse after GC
+        return [(r["doc_id"], round(float(r["score"]), 4))
+                for r in skewed_index.top_k_pruned(
+                    ["target", "filler"], k=5,
+                    similarity=bm25_similarity(k1=k1, b=0.4)).collect()]
+
+    first = run(0.3)
+    for _ in range(3):  # churn allocations to encourage id reuse
+        run(4.0)
+    again = run(0.3)
+    assert first == again
+    assert first != run(4.0)  # genuinely different params -> different scores
+
+
+def test_unhashable_similarity_skips_cache(skewed_index):
+    """An unhashable custom similarity scores exhaustively without
+    caching (and without crashing on the cache-key hash)."""
+    import numpy as np
+
+    class Sim:
+        __hash__ = None  # explicitly unhashable
+
+        def __call__(self, tf, dfs, dl, avgdl, n):
+            return np.asarray(tf, dtype=np.float32)
+
+    out = skewed_index.top_k_pruned("target", k=3, similarity=Sim()).collect()
+    assert len(out) == 3
