@@ -211,6 +211,13 @@ def merge_indexes(spark: SparkSession, index_paths: Sequence[str],
     for p in index_paths:
         with open(os.path.join(p, "meta.json")) as fh:
             metas.append(json.load(fh))
+        # merge unions BASE tables only; silently dropping an input's
+        # pending deletes/updates would resurrect dead docs — fail fast
+        if (os.path.isdir(os.path.join(p, "tombstones"))
+                or os.path.isdir(os.path.join(p, "updates"))):
+            raise ValueError(
+                f"index {p} has pending tombstones/update segments; "
+                f"compact_index it before merging")
     tokenizers_ = {m["tokenizer"] for m in metas}
     dpbs = {m["docs_per_block"] for m in metas}
     if len(tokenizers_) != 1 or len(dpbs) != 1:

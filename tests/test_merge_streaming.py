@@ -109,3 +109,24 @@ def test_overlapping_merge_unions_positions(spark, tmp_path):
     assert pf == {0: 1}  # phrase spanning content from input b
     dl = {r["doc_id"]: r["doc_len"] for r in m.doclengths().collect()}
     assert dl[0] == 4.0  # max across inputs
+
+
+def test_merge_rejects_pending_maintenance(spark, tmp_path):
+    """merge_indexes unions BASE tables only; an input with pending
+    tombstones/update segments must be rejected (compact first), not
+    silently resurrect deleted docs."""
+    import pytest as _pytest
+
+    from searcharray_spark import build_index
+    from searcharray_spark.merge import merge_indexes
+
+    a = build_index(spark, spark.createDataFrame(
+        [(0, "foo bar"), (1, "baz")], "doc_id long, text string"),
+        str(tmp_path / "a"), doc_id_col="doc_id", docs_per_block=4)
+    build_index(spark, spark.createDataFrame(
+        [(4, "qux")], "doc_id long, text string"),
+        str(tmp_path / "b"), doc_id_col="doc_id", docs_per_block=4)
+    a.delete_docs([0])
+    with _pytest.raises(ValueError, match="pending tombstones"):
+        merge_indexes(spark, [str(tmp_path / "a"), str(tmp_path / "b")],
+                      str(tmp_path / "m"))
