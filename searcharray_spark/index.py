@@ -633,6 +633,12 @@ class SearchIndex:
         has_segs = bool(self._update_segs())
         if has_segs:
             schema = StructType(schema.fields + [StructField("seg", LongType())])
+        # deleted docs must not appear (reference: a deleted row is gone
+        # from every view): apply the kernel exclusion rule per row —
+        # a doc dies where a LATER tombstone outranks the row's segment
+        tomb = self._tombstones()
+        tomb_bc = (self.spark.sparkContext.broadcast(tomb)
+                   if tomb else None)
 
         def _explode(it):
             for pdf in it:
@@ -640,10 +646,18 @@ class SearchIndex:
                         pdf["block_id"], pdf["doc_ids"], pdf["doc_lens"],
                         pdf["seg"]):
                     ids = np.frombuffer(ids_raw, dtype="<i8")
+                    lens = np.frombuffer(lens_raw, dtype="<f4")
+                    if tomb_bc is not None:
+                        t_entry = tomb_bc.value.get(int(block_id))
+                        if t_entry is not None:
+                            excl = t_entry[0][t_entry[1] > int(seg)]
+                            if len(excl):
+                                keep = ~np.isin(ids, excl, assume_unique=True)
+                                ids, lens = ids[keep], lens[keep]
                     out = {
                         "doc_id": ids + int(block_id) * docs_per_block,
                         "block_id": int(block_id),
-                        "doc_len": np.frombuffer(lens_raw, dtype="<f4"),
+                        "doc_len": lens,
                     }
                     if has_segs:
                         out["seg"] = int(seg)

@@ -165,3 +165,21 @@ def test_side_input_doclens_with_update_segments(idx, spark, tmp_path):
     bp = {r["doc_id"]: r["tf"] for r in idx.termfreqs(["foo", "bar"]).collect()}
     sp = {r["doc_id"]: r["tf"] for r in side.termfreqs(["foo", "bar"]).collect()}
     assert bp == sp
+
+
+def test_doclengths_exclude_deleted(idx, spark):
+    """doclengths()/docstats must drop deleted docs (a deleted row is
+    gone from every view, reference delete semantics) while keeping
+    updated docs with their new lengths."""
+    idx.delete_docs([0, 5])
+    idx.update_docs(spark.createDataFrame(
+        [(1, "longer than before now")], "doc_id long, text string"))
+    dl = {r["doc_id"]: r["doc_len"] for r in idx.doclengths().collect()}
+    assert 0 not in dl and 5 not in dl
+    assert dl[1] == 4.0                      # updated length
+    assert len(dl) == len(BASE) - 2
+    # delete-then-readd resurrects in doclengths too
+    idx.update_docs(spark.createDataFrame(
+        [(5, "back again")], "doc_id long, text string"))
+    dl2 = {r["doc_id"]: r["doc_len"] for r in idx.doclengths().collect()}
+    assert dl2[5] == 2.0
