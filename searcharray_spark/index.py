@@ -1346,11 +1346,23 @@ class SearchIndex:
         want = None
         if doc_ids is not None:
             want = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+        # deleted/replaced content must not decode (same exclusion rule
+        # as scoring: a LATER tombstone kills this row's doc)
+        tomb = self._tombstones()
+        tomb_bc = (self.spark.sparkContext.broadcast(tomb)
+                   if tomb else None)
 
         def decode_rows(it):
             for pdf in it:
                 for row in pdf.itertuples():
                     packed = K.from_bytes(row.postings)
+                    if tomb_bc is not None:
+                        t_entry = tomb_bc.value.get(int(row.block_id))
+                        if t_entry is not None:
+                            excl = t_entry[0][
+                                t_entry[1] > getattr(row, "seg", 0)]
+                            if len(excl):
+                                packed = K.exclude_keys(packed, excl)
                     if want is not None:
                         base = row.block_id * docs_per_block
                         local = want[(want >= base) & (want < base + docs_per_block)] - base

@@ -183,3 +183,22 @@ def test_doclengths_exclude_deleted(idx, spark):
         [(5, "back again")], "doc_id long, text string"))
     dl2 = {r["doc_id"]: r["doc_len"] for r in idx.doclengths().collect()}
     assert dl2[5] == 2.0
+
+
+def test_positions_honor_tombstones(idx, spark):
+    """positions() must not decode deleted or replaced content."""
+    before = {r["doc_id"]: list(r["posns"])
+              for r in idx.positions("bar").collect()}
+    assert 0 in before and 2 in before
+    idx.delete_docs([0])
+    idx.update_docs(spark.createDataFrame(
+        [(2, "nothing here")], "doc_id long, text string"))
+    after = {r["doc_id"]: list(r["posns"])
+             for r in idx.positions("bar").collect()}
+    assert 0 not in after          # deleted
+    assert 2 not in after          # replaced content has no "bar"
+    assert after[4] == before[4]   # untouched docs identical
+    # replacement content decodes at its new positions
+    here = {r["doc_id"]: list(r["posns"])
+            for r in idx.positions("here").collect()}
+    assert here == {2: [1]}
