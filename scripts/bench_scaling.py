@@ -76,12 +76,24 @@ def run_queries(idx, repeat: int) -> dict:
     return q_times
 
 
+# The N-vs-4N comparison must run the IDENTICAL job at both levels: on a
+# real cluster the output layout (postings files) and shuffle width are
+# sized by DATA (64 MB file targets), not by core count. Round 4 measured
+# the cost of coupling them to cpus: term_partitions=shuffle=cpus at
+# local[8] burned 454 CPU-seconds for the same 4M build that takes 324
+# CPU-s at local[2]'s layout (+40% work inflation), while a fixed layout
+# at local[8] costs 335.6 CPU-s (+3.6%) — the old protocol conflated
+# core scaling with layout overhead.
+FIXED_LAYOUT_PARTITIONS = 8
+
+
 def worker(cpus: int, n_docs: int, repeat: int = 3):
     from searcharray_spark import build_index
     from searcharray_spark.session import get_spark
 
+    layout = FIXED_LAYOUT_PARTITIONS
     spark = get_spark(f"scaling_{cpus}", master=f"local[{cpus}]",
-                      shuffle_partitions=cpus)
+                      shuffle_partitions=layout)
     corpus = spark.read.parquet(CORPUS)
     dpb = max(1024, n_docs // 128)
 
@@ -92,7 +104,7 @@ def worker(cpus: int, n_docs: int, repeat: int = 3):
     from pyspark.sql import functions as F
     build_index(spark, corpus.filter(F.col("doc_id") < 50000), warm_path,
                 doc_id_col="doc_id", tokenizer="ws", docs_per_block=dpb,
-                term_partitions=cpus)
+                term_partitions=layout)
     os.sync()
     time.sleep(5)
 
@@ -109,7 +121,7 @@ def worker(cpus: int, n_docs: int, repeat: int = 3):
         t0 = time.time()
         idx = build_index(spark, corpus, idx_path, doc_id_col="doc_id",
                           tokenizer="ws", docs_per_block=dpb,
-                          term_partitions=cpus)
+                          term_partitions=layout)
         build_secs = min(build_secs, time.time() - t0)
 
     # query from a fresh session (serving != building): the build session
@@ -120,7 +132,7 @@ def worker(cpus: int, n_docs: int, repeat: int = 3):
     time.sleep(3)
     from searcharray_spark import SearchIndex
     spark = get_spark(f"scaling_q_{cpus}", master=f"local[{cpus}]",
-                      shuffle_partitions=cpus)
+                      shuffle_partitions=layout)
     idx = SearchIndex(spark, idx_path)
 
     idx.cache()
