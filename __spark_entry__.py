@@ -175,6 +175,17 @@ def q_phrase_freqs_3(spark, sf_dir):
         "doc_id", F.col("tf").cast("long").alias("pf"))
 
 
+def q_or_matches(spark, sf_dir):
+    """Docs matching >= 2 of the OR terms with their distinct-term match
+    count — exercises the kernel-side OR-combine path (per-doc token
+    counts computed INSIDE the scan kernel, no groupBy exchange on
+    aligned indexes). Integer columns, hash-exact vs the oracle."""
+    idx = _index_for(spark, sf_dir)
+    return idx.search_or(OR_TERMS, mm=2) \
+        .select("doc_id", F.col("n_matches").cast("long").alias("n_matches")) \
+        .orderBy("doc_id")
+
+
 def q_and_search(spark, sf_dir):
     idx = _index_for(spark, sf_dir)
     hits = idx.score_many(AND_TERMS)
@@ -362,6 +373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_freqs_2": q_phrase_freqs_2,
         "phrase_freqs_3": q_phrase_freqs_3,
         "and_search": q_and_search,
+        "or_matches": q_or_matches,
         "slop_matchset": q_slop_matchset,
         "edismax_top10": q_edismax_top10,
         "minmax_window_tf": q_minmax_window_tf,
@@ -597,6 +609,11 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, term, count(*) AS cnt FROM tok
               WHERE term IN ({and_in}) GROUP BY doc_id, term)
             GROUP BY doc_id HAVING count(DISTINCT term) = {len(AND_TERMS)}""",
+        "or_matches": _TOK_CTE + f"""
+            SELECT doc_id, count(DISTINCT term)::BIGINT AS n_matches
+            FROM tok WHERE term IN ({or_in})
+            GROUP BY doc_id HAVING count(DISTINCT term) >= 2
+            ORDER BY doc_id""",
         "slop_matchset": _TOK_CTE + f"""
             SELECT DISTINCT a.doc_id FROM tok a
             JOIN tok b ON a.doc_id = b.doc_id AND a.posn <> b.posn
