@@ -873,7 +873,8 @@ class SearchIndex:
               min_posn: Optional[int] = None, max_posn: Optional[int] = None,
               slop: int = 0, block_ids: Optional[Sequence[int]] = None,
               candidates: Optional[DataFrame] = None,
-              or_combine: bool = False) -> DataFrame:
+              or_combine: bool = False,
+              per_token_topk: Optional[int] = None) -> DataFrame:
         """(token_idx, doc_id, tf, score) for each query token (term or
         phrase), computed block-locally.
 
@@ -958,10 +959,20 @@ class SearchIndex:
                 # copy: reference-style similarities (bm25.pyx) mutate
                 # term_freqs in place; the tf column must stay raw tfs
                 scores = sim_fn(tfs.copy(), tok_dfs, dls, avgdl, num_docs)
+                scores = np.asarray(scores, dtype=np.float32)
+                if (per_token_topk is not None
+                        and len(ids) > per_token_topk):
+                    # keep only this BLOCK's top-n under the global total
+                    # order (score desc, doc_id asc): the global top-k is
+                    # a subset of the per-block top-k, so the downstream
+                    # rank window shuffles O(k x blocks) rows instead of
+                    # every matching doc
+                    order = np.lexsort((ids, -scores))[:per_token_topk]
+                    ids, tfs, scores = ids[order], tfs[order], scores[order]
                 out_tok.append(np.full(len(ids), idx, dtype=np.int32))
                 out_doc.append(ids + base)
                 out_tf.append(tfs)
-                out_score.append(np.asarray(scores, dtype=np.float32))
+                out_score.append(scores)
             if not out_tok:
                 return empty_out()
             if or_combine:
@@ -1325,9 +1336,13 @@ class SearchIndex:
         """Top-k per query token in ONE kernel pass (batch scoring):
         (token_idx, doc_id, score, rank). Rank assignment mirrors the
         reference's SetOfResults (utils/sort.py:21-45) as a window
-        row_number per token."""
+        row_number per token. The kernel pre-truncates each (token,
+        block) to its local top-k under the same total order, so the
+        rank window's exchange carries O(k x blocks x tokens) rows, not
+        every matching doc — exact, and the scale-relevant shape."""
         from pyspark.sql import Window
-        hits = self.score_many(tokens, similarity=similarity)
+        toks = [_normalize_token(t) for t in tokens]
+        hits = self._hits(toks, similarity=similarity, per_token_topk=k)
         w = Window.partitionBy("token_idx").orderBy(
             F.desc("score"), F.asc("doc_id"))
         return hits.withColumn("rank", F.row_number().over(w)) \
