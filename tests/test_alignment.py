@@ -172,3 +172,35 @@ def test_recorded_false_flag_disables_zero_shuffle(spark, tmp_path):
         json.dump(meta, fh)
     idx = SearchIndex(spark, path)
     assert idx._files_aligned() is False
+
+
+def test_search_or_fallback_on_misaligned_single_terms(spark, tmp_path,
+                                                       tiny_splits):
+    """Kernel-side OR-combine requires whole-block scan partitions; a
+    misaligned index must take the per-token-rows + groupBy fallback
+    (_hits_or combined=False) and produce identical OR results."""
+    from searcharray_spark.index import SearchIndex
+
+    good = _build(spark, str(tmp_path / "og"))
+    _, combined = good._hits_or([["aaa"], ["zzz"]])
+    assert combined is True
+    truth = sorted(
+        (r["doc_id"], r["n_matches"], round(float(r["score"]), 4))
+        for r in good.search_or(["aaa", "zzz"], mm=1).collect())
+
+    bad_path = str(tmp_path / "ob")
+    _build(spark, bad_path)
+    _rechunk_postings(bad_path)
+    import json
+    with open(os.path.join(bad_path, "meta.json")) as fh:
+        meta = json.load(fh)
+    meta.pop("postings_single_row_group")
+    with open(os.path.join(bad_path, "meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    bad = SearchIndex(spark, bad_path)
+    _, combined = bad._hits_or([["aaa"], ["zzz"]])
+    assert combined is False  # single terms + unaligned -> fallback
+    got = sorted(
+        (r["doc_id"], r["n_matches"], round(float(r["score"]), 4))
+        for r in bad.search_or(["aaa", "zzz"], mm=1).collect())
+    assert got == truth
