@@ -50,6 +50,18 @@ def main() -> int:
     sections.append(("PLAN 5d: side-input doclens (big corpus) — phrase, "
                      "still zero shuffle, no doclens scan/exchange",
                      plan(side.score(["common", "w3"]))))
+    or_hits, combined = idx._hits_or([["common"], ["w3"], ["rare"]])
+    assert combined
+    sections.append(("PLAN 6: multi-term OR with kernel-side combine — "
+                     "per-doc sums inside the kernel, top-k straight off "
+                     "the scan, NO exchange",
+                     plan(or_hits.orderBy(F.desc("score"),
+                                          F.asc("doc_id")).limit(5))))
+    sections.append(("PLAN 7: batch top-k (top_k_many) — kernel "
+                     "pre-truncates each (token, block) to its local "
+                     "top-k, so the rank window exchanges O(k x blocks "
+                     "x tokens) rows",
+                     plan(idx.top_k_many(["common", "w3", "rare"], k=5))))
 
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "docs", "plans_raw.txt")
