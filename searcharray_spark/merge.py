@@ -202,10 +202,12 @@ def merge_indexes(spark: SparkSession, index_paths: Sequence[str],
     merges indexes sharing doc ids (reference B5, PosnBitArray.merge,
     middle_out.py:394-408): a shared doc's positions UNION (the query
     kernel OR-merges posting words sharing a (doc, posn-block) header)
-    and its doc length takes the max across inputs. Caveat (documented):
-    per-term df/tf_total in term_stats are summed, so stats double-count
-    docs present in several inputs until a compact-style rebuild — tf,
-    phrase, and position results are exact.
+    and its doc length takes the max across inputs. Stats are EXACT in
+    both modes (round 4; previously overlap merges double-counted
+    df/tf_total until compaction): the overlap path recounts per
+    (term, block) from the merged posting arrays — the same or_merge
+    the query kernel applies — in one distributed pass, with doc
+    lengths side-input-read from the merged doclens.
     """
     metas = []
     for p in index_paths:
@@ -281,19 +283,67 @@ def merge_indexes(spark: SparkSession, index_paths: Sequence[str],
     merged_posts = spark.read.parquet(os.path.join(out_path, "postings"))
     max_block = merged_posts.agg(F.max("block_id")).collect()[0][0]
     granularity = bounds_granularity(int(max_block or 0) + 1)
-    write_term_stats(merged_posts, os.path.join(out_path, "term_stats"),
-                     max(1, n_parts // 4), granularity)
-
     if allow_overlap:
-        # shared docs mean input counts double-count: recount from the
-        # merged doclens (one pass over the small packed table)
-        rows = spark.read.parquet(os.path.join(out_path, "doclens")) \
-            .select("doc_ids", "doc_lens").collect()
-        import numpy as np
-        num_docs = sum(len(r["doc_ids"]) // 8 for r in rows)
-        total_tokens = float(sum(
-            np.frombuffer(r["doc_lens"], dtype="<f4").sum() for r in rows))
+        # shared docs make per-input df/tf_total rows double-count.
+        # Recount EXACTLY per (term, block) from the posting arrays —
+        # the same or_merge the query kernel applies — with doc lens
+        # side-input-read from the merged doclens (no driver
+        # materialization). One distributed pass; overlap merges only.
+        from . import kernels as K
+        from .index import DoclensReader, scan_doclens_ranges
+        reader = DoclensReader(
+            scan_doclens_ranges([(0, os.path.join(out_path, "doclens"))]))
+
+        def recount(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            term, block_id = key[0], int(key[1])
+            parts = [K.from_bytes(b) for b in pdf["postings"]]
+            arr = (K.or_merge(np.concatenate(parts))
+                   if len(parts) > 1 else parts[0])
+            if not len(arr):
+                return pd.DataFrame({
+                    "term": pd.Series([], dtype=object),
+                    "block_id": pd.Series([], dtype="int64"),
+                    "df": pd.Series([], dtype="int64"),
+                    "tf_total": pd.Series([], dtype="int64"),
+                    "tf_max": pd.Series([], dtype="int64"),
+                    "dl_min": pd.Series([], dtype="int64")})
+            ids, tfs = K.termfreqs(arr)
+            dl_raw = reader.get(block_id)
+            dl_ids = np.frombuffer(dl_raw[0], dtype="<i8")
+            dl_lens = np.frombuffer(dl_raw[1], dtype="<f4")
+            dls = dl_lens[np.searchsorted(dl_ids, ids)]
+            return pd.DataFrame({
+                "term": [term], "block_id": [block_id],
+                "df": [int(len(ids))], "tf_total": [int(tfs.sum())],
+                "tf_max": [int(tfs.max())], "dl_min": [int(dls.min())]})
+
+        exact = merged_posts.select("term", "block_id", "postings") \
+            .groupBy("term", "block_id").applyInPandas(
+                recount, "term string, block_id long, df long, "
+                         "tf_total long, tf_max long, dl_min long")
+        write_term_stats(exact, os.path.join(out_path, "term_stats"),
+                         max(1, n_parts // 4), granularity)
+
+        # corpus stats: one distributed pass over the packed doclens
+        # (O(partitions) rows to the driver, not O(num_docs))
+        def _dl_stats(it):
+            n = 0
+            tot = 0.0
+            for pdf in it:
+                for lr in pdf["doc_lens"]:
+                    ln = np.frombuffer(lr, dtype="<f4")
+                    n += len(ln)
+                    tot += float(ln.sum())
+            yield pd.DataFrame({"n": [n], "tot": [tot]})
+
+        parts = spark.read.parquet(os.path.join(out_path, "doclens")) \
+            .select("doc_lens").mapInPandas(
+                _dl_stats, "n long, tot double").collect()
+        num_docs = int(sum(r["n"] for r in parts))
+        total_tokens = float(sum(r["tot"] for r in parts))
     else:
+        write_term_stats(merged_posts, os.path.join(out_path, "term_stats"),
+                         max(1, n_parts // 4), granularity)
         num_docs = sum(m["num_docs"] for m in metas)
         total_tokens = sum(m["total_tokens"] for m in metas)
     meta = dict(metas[0])

@@ -130,3 +130,32 @@ def test_merge_rejects_pending_maintenance(spark, tmp_path):
     with _pytest.raises(ValueError, match="pending tombstones"):
         merge_indexes(spark, [str(tmp_path / "a"), str(tmp_path / "b")],
                       str(tmp_path / "m"))
+
+
+def test_overlapping_merge_exact_stats(spark, tmp_path):
+    """Round 4: allow_overlap merges recount df/tf_total per (term,
+    block) from the merged posting arrays, so stats (and therefore BM25
+    scores) equal a fresh build of the unioned content — the old
+    double-count caveat is gone."""
+    from searcharray_spark.merge import merge_indexes
+    import numpy as np
+
+    a = spark.createDataFrame([(0, "foo bar"), (1, "data2 foo")],
+                              "doc_id long, text string")
+    b = spark.createDataFrame([(0, "foo bar baz quux"), (1, "data2 foo")],
+                              "doc_id long, text string")
+    ia = build_index(spark, a, str(tmp_path / "ea"), doc_id_col="doc_id",
+                     docs_per_block=4)
+    ib = build_index(spark, b, str(tmp_path / "eb"), doc_id_col="doc_id",
+                     docs_per_block=4)
+    m = merge_indexes(spark, [ia.path, ib.path], str(tmp_path / "em"),
+                      allow_overlap=True)
+    # union of content: doc0 = b's superset, doc1 identical in both
+    fresh = build_index(spark, b, str(tmp_path / "ef"), doc_id_col="doc_id",
+                        docs_per_block=4)
+    assert m.num_docs == fresh.num_docs
+    assert m.avg_doc_len == fresh.avg_doc_len
+    for t in ["foo", "bar", "baz", "data2"]:
+        assert m.docfreq(t) == fresh.docfreq(t), t  # exact, not doubled
+    for tok in ["foo", ["bar", "baz"]]:
+        assert np.array_equal(m.score_dense(tok), fresh.score_dense(tok)), tok
