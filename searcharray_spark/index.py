@@ -879,12 +879,21 @@ class SearchIndex:
         phrase), computed block-locally.
 
         Physical strategies (cheapest that fits):
-        1. single terms + broadcast doclens -> mapInPandas straight over
-           the pruned postings scan: ZERO shuffle before top-k.
-        2. phrases + broadcast doclens -> one shuffle (groupBy block) of
-           the pruned posting rows only.
-        3. doclens too large to broadcast -> block cogroup (both sides
-           shuffle by block_id; doc-axis partitioned, never by doc).
+        1. single terms -> mapInPandas straight over the pruned postings
+           scan: ZERO shuffle before top-k.
+        2. phrases on scan-aligned files -> ALSO zero shuffle (whole doc
+           blocks per scan partition); otherwise one shuffle (groupBy
+           block) of the pruned posting rows only.
+        Doclens always arrive shuffle-free: session broadcast below the
+        small-corpus cap, per-task side-input file reads (DoclensReader)
+        above it.
+
+        ``or_combine`` sums scores per doc INSIDE the kernel (plus a
+        matching-token count in token_idx) — callers drop their
+        groupBy(doc_id); only valid when every token of a block is
+        scored in one call (see _hits_or). ``per_token_topk`` keeps each
+        (token, block)'s local top-k under (score desc, doc_id asc) —
+        exact for global top-k consumers (the winner set is a subset).
 
         ``candidates`` (a DataFrame with a doc_id column) restricts
         scoring to those docs INSIDE the kernel (posting-array semi-join,
