@@ -270,7 +270,11 @@ class SearchIndex:
         self.docs_per_block = int(self.meta["docs_per_block"])
         self.num_docs = int(self.meta["num_docs"])
         self.avg_doc_len = float(self.meta["avg_doc_len"])
-        self.total_tokens = float(self.meta.get("total_tokens") or 0.0)
+        # legacy index without total_tokens: derive it so delete/update
+        # stats patches stay consistent instead of driving totals negative
+        _tt = self.meta.get("total_tokens")
+        self.total_tokens = (float(_tt) if _tt is not None
+                             else self.avg_doc_len * self.num_docs)
         # as-built doc-id space: dense (test-parity) outputs keep this
         # shape even after deletes shrink the LIVE num_docs below it
         self.capacity = int(self.meta["num_docs"])
@@ -536,6 +540,7 @@ class SearchIndex:
     def _invalidate_caches(self) -> None:
         self._tomb_cache = None
         self._dl_bc = None
+        self._dl_capacity = None
         self._postings_df = None
         self._doclens_df = None
         self._df_cache = {}
@@ -784,6 +789,20 @@ class SearchIndex:
     # driver collect). Round-3 kept a 512 MB collect+broadcast default up
     # to 32M docs — pointless risk once the side-input path existed.
     DOCLENS_BROADCAST_MAX_DOCS = 2_000_000
+
+    def _doclens_capacity(self) -> int:
+        """Upper bound on doclens rows a broadcast would collect: the
+        AS-BUILT capacity plus every update segment's doc count. The
+        live (patched) num_docs shrinks under deletes, but tombstones
+        never shrink the doclens table — gating the broadcast on the
+        live count would let a mass-deleted huge index slip under the
+        cap and trigger an O(capacity) driver collect."""
+        if getattr(self, "_dl_capacity", None) is None:
+            cap = self.capacity
+            for s in self._update_segs():
+                cap += int(self._seg_meta(s)["num_docs"])
+            self._dl_capacity = cap
+        return self._dl_capacity
 
     def _doclens_broadcast(self):
         if getattr(self, "_dl_bc", None) is None:
@@ -1069,7 +1088,7 @@ class SearchIndex:
         # their blocks (DoclensReader) — no broadcast, no doclens
         # shuffle, at ANY corpus size. Either way the plan has no
         # doclens-side exchange.
-        if self.num_docs <= self.DOCLENS_BROADCAST_MAX_DOCS:
+        if self._doclens_capacity() <= self.DOCLENS_BROADCAST_MAX_DOCS:
             dl_bc = self._doclens_broadcast()
 
             def make_dl_get():

@@ -544,9 +544,15 @@ def build_index(
     aggs = [F.max("doc_id").alias("mx"), F.count(F.lit(1)).alias("cnt")]
     if tokens_col is None:
         aggs.append(F.sum(F.octet_length("text")).alias("tb"))
+    else:
+        # pretokenized: the same byte cap must gate the driver-local
+        # toPandas — estimate per-doc size as token bytes + array slack
+        aggs.append(F.sum(F.expr(
+            "aggregate(text, 0L, (a, x) -> a + octet_length(x) + 8L)"
+        )).alias("tb"))
     head = df.agg(*aggs).collect()[0]
     max_doc, n_rows = head["mx"], int(head["cnt"])
-    text_bytes = int(head["tb"] or 0) if tokens_col is None else None
+    text_bytes = int(head["tb"] or 0)
     n_blocks = int(max_doc // docs_per_block) + 1 if max_doc is not None else 1
 
     builder = _make_block_builder(tokenizer_fn, docs_per_block, truncate,
@@ -555,7 +561,7 @@ def build_index(
 
     if (checkpoint_groups <= 1 and not resume
             and n_rows <= SMALL_BUILD_MAX_DOCS
-            and (text_bytes is None or text_bytes <= SMALL_BUILD_MAX_BYTES)):
+            and text_bytes <= SMALL_BUILD_MAX_BYTES):
         # driver-local fast path: identical layout, zero Spark jobs past
         # this toPandas — update segments, streaming micro-batches, and
         # toy benches skip ~10 jobs of fixed scheduling overhead

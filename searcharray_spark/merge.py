@@ -20,6 +20,22 @@ from pyspark.sql import SparkSession, functions as F
 from .index import SearchIndex
 
 
+def _lens_for_ids(dl_ids, dl_lens, ids):
+    """Doc lengths for sorted posting doc ids, failing LOUDLY if any id
+    is missing from the doclens table (an unclamped searchsorted would
+    either IndexError or silently return a neighbour's length, feeding
+    wrong dl_min/WAND bounds)."""
+    import numpy as _np
+    pos = _np.searchsorted(dl_ids, ids)
+    if len(ids) and (int(pos.max()) >= len(dl_ids)
+                     or not _np.array_equal(dl_ids[pos], ids)):
+        missing = set(map(int, ids)) - set(map(int, dl_ids))
+        raise ValueError(
+            f"inconsistent index: posting doc ids missing from doclens "
+            f"(sample: {sorted(missing)[:5]})")
+    return dl_lens[pos]
+
+
 def compact_index(spark: SparkSession, index_path: str, out_path: str) -> SearchIndex:
     """Materialize tombstones + update segments into a fresh index.
 
@@ -140,7 +156,7 @@ def compact_index(spark: SparkSession, index_path: str, out_path: str) -> Search
         dl_raw = reader.get(block_id)
         dl_ids = np.frombuffer(dl_raw[0], dtype="<i8")
         dl_lens = np.frombuffer(dl_raw[1], dtype="<f4")
-        dls = dl_lens[np.searchsorted(dl_ids, ids)]
+        dls = _lens_for_ids(dl_ids, dl_lens, ids)
         return pd.DataFrame({
             "term": [term], "block_id": [block_id],
             "postings": [K.to_bytes(arr)], "df": [int(len(ids))],
@@ -311,7 +327,7 @@ def merge_indexes(spark: SparkSession, index_paths: Sequence[str],
             dl_raw = reader.get(block_id)
             dl_ids = np.frombuffer(dl_raw[0], dtype="<i8")
             dl_lens = np.frombuffer(dl_raw[1], dtype="<f4")
-            dls = dl_lens[np.searchsorted(dl_ids, ids)]
+            dls = _lens_for_ids(dl_ids, dl_lens, ids)
             return pd.DataFrame({
                 "term": [term], "block_id": [block_id],
                 "df": [int(len(ids))], "tf_total": [int(tfs.sum())],
