@@ -47,6 +47,46 @@ HITS_SCHEMA = StructType([
     StructField("score", FloatType()),
 ])
 
+TOPK_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("score", FloatType()),
+])
+
+TOPK_MANY_SCHEMA = StructType([
+    StructField("token_idx", IntegerType()),
+    StructField("doc_id", LongType()),
+    StructField("score", FloatType()),
+    StructField("rank", IntegerType()),
+])
+
+
+def _local_df(spark: SparkSession, pdf: pd.DataFrame,
+              schema: StructType) -> DataFrame:
+    """LocalRelation from a pandas frame — ALWAYS a LocalTableScan whose
+    collect() is job-free, even for 0 rows (plain createDataFrame falls
+    back to an RDD-backed plan for empty input, costing a real Spark job
+    per action — measured 0.25 s, the whole point of the driver-local
+    query path)."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+    tbl = pa.Table.from_pandas(pdf, schema=to_arrow_schema(schema),
+                               preserve_index=False)
+    return spark.createDataFrame(tbl, schema)
+
+
+def _empty_positions_pdf() -> pd.DataFrame:
+    return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                         "posns": pd.Series([], dtype=object)})
+
+
+def _empty_hits_pdf() -> pd.DataFrame:
+    return pd.DataFrame(
+        {"token_idx": pd.Series([], dtype="int32"),
+         "doc_id": pd.Series([], dtype="int64"),
+         "tf": pd.Series([], dtype="float32"),
+         "score": pd.Series([], dtype="float32")})
+
+
 POSITIONS_SCHEMA = StructType([
     StructField("doc_id", LongType()),
     StructField("posns", ArrayType(IntegerType())),
@@ -338,8 +378,11 @@ class SearchIndex:
         tomb = 0
         tpath = os.path.join(self.path, "tombstones")
         if os.path.isdir(tpath):
-            rows = self.spark.read.parquet(tpath).agg(F.max("seg")).collect()
-            tomb = int(rows[0][0] or 0)
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
+            mx = pc.max(pq.read_table(tpath, columns=["seg"])
+                        .column("seg")).as_py()
+            tomb = int(mx or 0)
         segs = self._update_segs()
         return max([tomb] + segs + [0]) + 1
 
@@ -351,7 +394,10 @@ class SearchIndex:
         tpath = os.path.join(self.path, "tombstones")
         out: dict = {}
         if os.path.isdir(tpath):
-            pdf = self.spark.read.parquet(tpath).toPandas()
+            # bounded between compactions (documented design limit) —
+            # a driver pyarrow read, no Spark job
+            import pyarrow.parquet as pq
+            pdf = pq.read_table(tpath).to_pandas()
             if len(pdf):
                 ids = pdf["doc_id"].to_numpy(dtype=np.int64)
                 segs = pdf["seg"].to_numpy(dtype=np.int64)
@@ -499,6 +545,30 @@ class SearchIndex:
         tomb = self._tombstones()
         if not tomb or not terms:
             return {}
+        if self._local_query_ok():
+            # small index: identical exclusion math over the
+            # driver-loaded postings rows (no job)
+            out: dict = {}
+            store = self._local_postings()
+            for t in terms:
+                killed_tot = 0
+                for b, raw, seg in store.get(t, ()):
+                    t_entry = tomb.get(int(b))
+                    if t_entry is None:
+                        continue
+                    excl = t_entry[0][t_entry[1] > int(seg)]
+                    if not len(excl):
+                        continue
+                    arr = K.from_bytes(raw)
+                    if not len(arr):
+                        continue
+                    ids, _ = K.termfreqs(arr)
+                    pos = np.minimum(np.searchsorted(excl, ids),
+                                     len(excl) - 1)
+                    killed_tot += int((excl[pos] == ids).sum())
+                if killed_tot:
+                    out[t] = -killed_tot
+            return out
         tomb_bc = self.spark.sparkContext.broadcast(tomb)
         posts = self.postings.filter(F.col("term").isin(list(terms)))
         if len(tomb) <= 8192:
@@ -541,6 +611,10 @@ class SearchIndex:
         self._tomb_cache = None
         self._dl_bc = None
         self._dl_capacity = None
+        self._dl_table = None
+        self._local_ok = None
+        self._local_posts = None
+        self._local_ts = None
         self._postings_df = None
         self._doclens_df = None
         self._df_cache = {}
@@ -697,22 +771,30 @@ class SearchIndex:
                    if t not in self._sketch_cache]
         if missing:
             cols = ["term", "df", "grp_ids", "grp_tf_max", "grp_dl_min"]
-            sources = [(int(self.meta.get("bounds_granularity", 1)), True,
-                        self.term_stats)]
-            for s in self._update_segs():
-                ts = self.spark.read.parquet(os.path.join(
-                    self.path, "updates", f"seg={s}", "term_stats"))
-                sources.append(
-                    (int(self._seg_meta(s).get("bounds_granularity", 1)),
-                     False, ts))
-            union = None
-            for g, is_base, ts in sources:
-                part = ts.filter(F.col("term").isin(missing)).select(*cols) \
-                    .withColumn("g", F.lit(g)) \
-                    .withColumn("is_base", F.lit(is_base))
-                union = part if union is None else union.unionByName(part)
+            if self._local_query_ok():
+                # small index: the whole term_stats table was pyarrow-read
+                # once (no Spark job); serve the missing terms from it
+                collected = [r for t in missing
+                             for r in self._local_term_stats().get(t, ())]
+            else:
+                sources = [(int(self.meta.get("bounds_granularity", 1)),
+                            True, self.term_stats)]
+                for s in self._update_segs():
+                    ts = self.spark.read.parquet(os.path.join(
+                        self.path, "updates", f"seg={s}", "term_stats"))
+                    sources.append(
+                        (int(self._seg_meta(s).get("bounds_granularity", 1)),
+                         False, ts))
+                union = None
+                for g, is_base, ts in sources:
+                    part = ts.filter(F.col("term").isin(missing)) \
+                        .select(*cols) \
+                        .withColumn("g", F.lit(g)) \
+                        .withColumn("is_base", F.lit(is_base))
+                    union = part if union is None else union.unionByName(part)
+                collected = union.collect()
             by_term: dict = {}
-            for r in union.collect():
+            for r in collected:
                 g = int(r["g"])
                 grp = np.frombuffer(r["grp_ids"], dtype="<i4").astype(np.int64)
                 part = (grp * g, grp * g + g,
@@ -804,14 +886,25 @@ class SearchIndex:
             self._dl_capacity = cap
         return self._dl_capacity
 
-    def _doclens_broadcast(self):
-        if getattr(self, "_dl_bc", None) is None:
-            rows = self.doclens.collect()
+    def _doclens_table(self) -> dict:
+        """{block_id: (ids_bytes, lens_bytes)}, update segments patched
+        by seg priority. Built once per handle with driver pyarrow reads
+        of the packed doclens table(s) — NO Spark job (call sites gate
+        on _doclens_capacity / _local_query_ok, so the read is bounded)."""
+        if getattr(self, "_dl_table", None) is None:
+            import pyarrow.parquet as pq
+            sources = [(0, os.path.join(self.path, "doclens"))]
+            sources += [(s, os.path.join(self.path, "updates",
+                                         f"seg={s}", "doclens"))
+                        for s in self._update_segs()]
             by_block: dict = {}
-            for r in rows:
-                by_block.setdefault(int(r["block_id"]), []).append(
-                    (int(r["seg"]) if "seg" in r else 0,
-                     r["doc_ids"], r["doc_lens"]))
+            for seg, root in sources:
+                t = pq.read_table(
+                    root, columns=["block_id", "doc_ids", "doc_lens"])
+                for b, ir, lr in zip(t.column("block_id").to_pylist(),
+                                     t.column("doc_ids").to_pylist(),
+                                     t.column("doc_lens").to_pylist()):
+                    by_block.setdefault(int(b), []).append((seg, ir, lr))
             table = {}
             for b, segs in by_block.items():
                 if len(segs) == 1:
@@ -820,8 +913,93 @@ class SearchIndex:
                     ids, lens = patch_doclens(segs)
                     table[b] = (ids.astype("<i8").tobytes(),
                                 lens.astype("<f4").tobytes())
-            self._dl_bc = self.spark.sparkContext.broadcast(table)
+            self._dl_table = table
+        return self._dl_table
+
+    def _doclens_broadcast(self):
+        if getattr(self, "_dl_bc", None) is None:
+            self._dl_bc = self.spark.sparkContext.broadcast(
+                self._doclens_table())
         return self._dl_bc
+
+    # --- driver-local small-query path ------------------------------------
+    # symmetric to the small-BUILD path (indexing._build_index_local):
+    # below these caps the whole postings table is loaded onto the driver
+    # once (pyarrow) and queries run the SAME merge_packed/score_block
+    # kernels driver-side — zero Spark jobs per query, results returned
+    # as a LocalRelation. Bit-identical to the distributed path
+    # (tests/test_local_query.py). A 1-block toy index stops paying the
+    # ~0.2-0.7 s Spark job floor per query; big indexes never reach the
+    # file walk (capacity gate first).
+    LOCAL_QUERY_MAX_DOCS = 1 << 18
+    LOCAL_QUERY_MAX_BYTES = 64 << 20
+
+    def _local_query_ok(self) -> bool:
+        if getattr(self, "_local_ok", None) is None:
+            ok = self._doclens_capacity() <= self.LOCAL_QUERY_MAX_DOCS
+            if ok:
+                sz = 0
+                roots = [os.path.join(self.path, "postings")]
+                roots += [os.path.join(self.path, "updates",
+                                       f"seg={s}", "postings")
+                          for s in self._update_segs()]
+                for root in roots:
+                    for dirpath, _, files in os.walk(root):
+                        for f in files:
+                            if f.endswith(".parquet"):
+                                sz += os.path.getsize(
+                                    os.path.join(dirpath, f))
+                        if sz > self.LOCAL_QUERY_MAX_BYTES:
+                            break
+                ok = sz <= self.LOCAL_QUERY_MAX_BYTES
+            self._local_ok = ok
+        return self._local_ok
+
+    def _local_postings(self) -> dict:
+        """term -> [(block_id, packed_bytes, seg)], loaded once
+        driver-side (pyarrow, no Spark job). Only built under
+        _local_query_ok()."""
+        if getattr(self, "_local_posts", None) is None:
+            import pyarrow.parquet as pq
+            sources = [(0, os.path.join(self.path, "postings"))]
+            sources += [(s, os.path.join(self.path, "updates",
+                                         f"seg={s}", "postings"))
+                        for s in self._update_segs()]
+            store: dict = {}
+            for seg, root in sources:
+                t = pq.read_table(
+                    root, columns=["term", "block_id", "postings"])
+                for term, b, data in zip(t.column("term").to_pylist(),
+                                         t.column("block_id").to_pylist(),
+                                         t.column("postings").to_pylist()):
+                    store.setdefault(term, []).append((int(b), data, seg))
+            self._local_posts = store
+        return self._local_posts
+
+    def _local_term_stats(self) -> dict:
+        """term -> [row dicts shaped like the Spark sketch-fetch union]
+        (keys: term, df, grp_ids, grp_tf_max, grp_dl_min, g, is_base),
+        pyarrow-read once. Only built under _local_query_ok()."""
+        if getattr(self, "_local_ts", None) is None:
+            import pyarrow.parquet as pq
+            sources = [(int(self.meta.get("bounds_granularity", 1)), True,
+                        os.path.join(self.path, "term_stats"))]
+            sources += [
+                (int(self._seg_meta(s).get("bounds_granularity", 1)), False,
+                 os.path.join(self.path, "updates", f"seg={s}", "term_stats"))
+                for s in self._update_segs()]
+            cols = ["term", "df", "grp_ids", "grp_tf_max", "grp_dl_min"]
+            out: dict = {}
+            for g, is_base, root in sources:
+                t = pq.read_table(root, columns=cols)
+                data = [t.column(c).to_pylist() for c in cols]
+                for term, df_, gi, gt, gd in zip(*data):
+                    out.setdefault(term, []).append(
+                        {"term": term, "df": df_, "grp_ids": gi,
+                         "grp_tf_max": gt, "grp_dl_min": gd,
+                         "g": g, "is_base": is_base})
+            self._local_ts = out
+        return self._local_ts
 
     # prune doc blocks via the term sketches when the rarest query term
     # is at least this much rarer than the corpus (the sketch lookup is
@@ -893,7 +1071,8 @@ class SearchIndex:
               slop: int = 0, block_ids: Optional[Sequence[int]] = None,
               candidates: Optional[DataFrame] = None,
               or_combine: bool = False,
-              per_token_topk: Optional[int] = None) -> DataFrame:
+              per_token_topk: Optional[int] = None,
+              _as_pandas: bool = False):
         """(token_idx, doc_id, tf, score) for each query token (term or
         phrase), computed block-locally.
 
@@ -927,7 +1106,9 @@ class SearchIndex:
         sim_fn = sim_mod.resolve(similarity)
         all_terms = sorted({t for tok in tokens for t in tok})
         if not all_terms:
-            return self.spark.createDataFrame([], HITS_SCHEMA)
+            return (_empty_hits_pdf() if _as_pandas
+                    else _local_df(self.spark, _empty_hits_pdf(),
+                                   HITS_SCHEMA))
         dfs = self.docfreqs(all_terms)
         num_docs = self.num_docs
         avgdl = self.avg_doc_len
@@ -943,7 +1124,9 @@ class SearchIndex:
             if pruned is not None:
                 block_ids = pruned
                 if not block_ids:
-                    return self.spark.createDataFrame([], HITS_SCHEMA)
+                    return (_empty_hits_pdf() if _as_pandas
+                            else _local_df(self.spark, _empty_hits_pdf(),
+                                           HITS_SCHEMA))
 
         def empty_out() -> pd.DataFrame:
             return pd.DataFrame(
@@ -1050,6 +1233,40 @@ class SearchIndex:
                     arr = K.or_merge(np.concatenate((prev, arr)))
                 packed[row.term] = arr
             return packed
+
+        if candidates is None and self._local_query_ok():
+            # driver-local fast path (gate: whole postings table tiny):
+            # run the SAME merge_packed/score_block kernels on
+            # driver-loaded rows — zero Spark jobs, bit-identical
+            # results (tests/test_local_query.py) as a LocalRelation.
+            block_set = (set(int(b) for b in block_ids)
+                         if block_ids is not None else None)
+            by_block: dict = {}
+            for t in all_terms:
+                for b, data, seg in self._local_postings().get(t, ()):
+                    if block_set is not None and b not in block_set:
+                        continue
+                    by_block.setdefault(b, []).append((t, data, seg))
+            dl_table = self._doclens_table()
+            outs = []
+            for b in sorted(by_block):
+                dl_raw = dl_table.get(b)
+                if dl_raw is None:
+                    continue
+                rows = by_block[b]
+                grp = pd.DataFrame({
+                    "term": [r[0] for r in rows],
+                    "postings": [r[1] for r in rows],
+                    "seg": np.asarray([r[2] for r in rows],
+                                      dtype=np.int64)})
+                res = score_block(b, merge_packed(grp, b), dl_raw, None)
+                if len(res):
+                    outs.append(res)
+            pdf = (pd.concat(outs, ignore_index=True) if outs
+                   else _empty_hits_pdf())
+            if _as_pandas:
+                return pdf
+            return _local_df(self.spark, pdf, HITS_SCHEMA)
 
         posts = self.postings.filter(F.col("term").isin(all_terms))
         if block_ids is not None:
@@ -1175,10 +1392,39 @@ class SearchIndex:
         return self._hits(toks, similarity=similarity, slop=slop,
                           candidates=candidates)
 
+    def _local_hits_pdf(self, tokens: List[List[str]],
+                        **kw) -> Optional[pd.DataFrame]:
+        """Pandas hits when the driver-local small-index path applies,
+        else None (caller falls back to the distributed plan). Lets
+        top-k/rank finishing run driver-side too — zero Spark jobs for
+        the whole query instead of a TakeOrdered job over the
+        LocalRelation."""
+        if kw.pop("candidates", None) is not None \
+                or not self._local_query_ok():
+            return None
+        return self._hits(tokens, _as_pandas=True, **kw)
+
+    def _local_topk_df(self, pdf: pd.DataFrame, k: int) -> DataFrame:
+        """(doc_id, score) top-k under (score desc, doc_id asc) — the
+        exact total order TakeOrderedAndProject uses (float32->float64
+        upcast is exact, so comparisons match Spark's)."""
+        doc = pdf["doc_id"].to_numpy(dtype=np.int64)
+        sc = pdf["score"].to_numpy(dtype=np.float32)
+        order = np.lexsort((doc, -sc.astype(np.float64)))[:k]
+        out = pd.DataFrame({"doc_id": doc[order],
+                            "score": sc[order]})
+        return _local_df(self.spark, out, TOPK_SCHEMA)
+
     def top_k(self, token: TokenArg, k: int = 10, similarity=None,
               slop: int = 0, candidates: Optional[DataFrame] = None) -> DataFrame:
         """Global top-k by score (ties broken by doc_id): distributed
-        per-partition top-k then driver merge (TakeOrderedAndProject)."""
+        per-partition top-k then driver merge (TakeOrderedAndProject);
+        driver-local sort on small indexes (zero Spark jobs)."""
+        toks = _normalize_token(token)
+        pdf = self._local_hits_pdf([toks], similarity=similarity,
+                                   slop=slop, candidates=candidates)
+        if pdf is not None:
+            return self._local_topk_df(pdf, k)
         return self.score(token, similarity=similarity, slop=slop,
                           candidates=candidates) \
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
@@ -1290,6 +1536,17 @@ class SearchIndex:
             hash(cache_key)
         except TypeError:  # unhashable custom similarity: skip the cache
             cache_key = None
+        # a driver-local index scores exhaustively in microseconds —
+        # WAND's chunked-phase bookkeeping only adds overhead there.
+        # or_combine is always valid driver-side (every token of a block
+        # is scored in one call by construction).
+        if self._local_query_ok():
+            pdf = self._hits(tokens_list, similarity=similarity,
+                             or_combine=True, _as_pandas=True)
+            out = self._local_topk_df(pdf, k)
+            out._wand_blocks_scanned = -1
+            out._wand_blocks_total = -1
+            return out
         bounds = None
         if getattr(sim_fn, "monotone_bounds", False):
             bounds = self._block_bounds(tokens_list, sim_fn,
@@ -1370,6 +1627,27 @@ class SearchIndex:
         every matching doc — exact, and the scale-relevant shape."""
         from pyspark.sql import Window
         toks = [_normalize_token(t) for t in tokens]
+        pdf = self._local_hits_pdf(toks, similarity=similarity,
+                                   per_token_topk=k)
+        if pdf is not None:
+            # driver-side rank per token under the same total order
+            ti = pdf["token_idx"].to_numpy(dtype=np.int32)
+            doc = pdf["doc_id"].to_numpy(dtype=np.int64)
+            sc = pdf["score"].to_numpy(dtype=np.float32)
+            order = np.lexsort((doc, -sc.astype(np.float64), ti))
+            ti, doc, sc = ti[order], doc[order], sc[order]
+            starts = np.concatenate(
+                ([0], np.flatnonzero(np.diff(ti)) + 1))
+            widths = np.diff(np.concatenate((starts, [len(ti)])))
+            rank = (np.arange(len(ti), dtype=np.int64)
+                    - np.repeat(starts, widths) + 1)
+            keep = rank <= k
+            out = pd.DataFrame({
+                "token_idx": ti[keep],
+                "doc_id": doc[keep],
+                "score": sc[keep],
+                "rank": rank[keep].astype(np.int32)})
+            return _local_df(self.spark, out, TOPK_MANY_SCHEMA)
         hits = self._hits(toks, similarity=similarity, per_token_topk=k)
         w = Window.partitionBy("token_idx").orderBy(
             F.desc("score"), F.asc("doc_id"))
@@ -1420,6 +1698,29 @@ class SearchIndex:
                         "posns": [posns[s:e].astype(np.int32)
                                   for s, e in zip(starts[:-1], starts[1:])],
                     })
+
+        if self._local_query_ok():
+            # driver-local path: same decode_rows generator over the
+            # driver-loaded posting rows (zero Spark jobs)
+            rows = self._local_postings().get(term, [])
+            if want is not None:
+                blocks = {int(d) // docs_per_block for d in want}
+                rows = [r for r in rows if r[0] in blocks]
+            if not rows:
+                return _local_df(self.spark, _empty_positions_pdf(),
+                                 POSITIONS_SCHEMA)
+            pdf_in = pd.DataFrame({
+                "block_id": np.asarray([r[0] for r in rows], dtype=np.int64),
+                "postings": [r[1] for r in rows],
+                "seg": np.asarray([r[2] for r in rows], dtype=np.int64)})
+            outs = list(decode_rows([pdf_in]))
+            if not outs:
+                return _local_df(self.spark, _empty_positions_pdf(),
+                                 POSITIONS_SCHEMA)
+            pdf = pd.concat(outs, ignore_index=True)
+            pdf["posns"] = [np.asarray(p, dtype=np.int32).tolist()
+                            for p in pdf["posns"]]
+            return _local_df(self.spark, pdf, POSITIONS_SCHEMA)
 
         posts = self.postings.filter(F.col("term") == term)
         if want is not None:

@@ -20,8 +20,13 @@ def skewed_index(spark, tmp_path_factory):
         else:
             docs.append(" ".join(rng.choice(["a", "b", "c", "filler"], 20)))
     df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
-    return build_index(spark, df, str(tmp_path_factory.mktemp("wand") / "idx"),
-                       doc_id_col="doc_id", docs_per_block=100)
+    idx = build_index(spark, df, str(tmp_path_factory.mktemp("wand") / "idx"),
+                      doc_id_col="doc_id", docs_per_block=100)
+    # this corpus is small enough for the driver-local query path, which
+    # skips WAND entirely; pin the distributed path — WAND's chunked
+    # pruning is exactly what this module tests
+    idx._local_ok = False
+    return idx
 
 
 @pytest.mark.parametrize("term,k", [("target", 5), ("target", 10),
