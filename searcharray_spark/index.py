@@ -74,6 +74,15 @@ def _local_df(spark: SparkSession, pdf: pd.DataFrame,
     return spark.createDataFrame(tbl, schema)
 
 
+def _ub_of(entry, block_id: int) -> float:
+    """Per-token upper bound for one block from the (blocks, ubs)
+    arrays _block_bounds builds; 0.0 when the sketch says the token is
+    absent from the block."""
+    bl, ub = entry
+    pos = int(np.searchsorted(bl, block_id))
+    return float(ub[pos]) if pos < len(bl) and bl[pos] == block_id else 0.0
+
+
 def _empty_positions_pdf() -> pd.DataFrame:
     return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                          "posns": pd.Series([], dtype=object)})
@@ -1047,7 +1056,8 @@ class SearchIndex:
         return sorted(needed)
 
     def _hits_or(self, tokens: List[List[str]], similarity=None,
-                 block_ids: Optional[Sequence[int]] = None):
+                 block_ids: Optional[Sequence[int]] = None,
+                 or_maxscore=None):
         """(hits_df, combined) for an OR query. When every token of a doc
         is guaranteed computed in ONE kernel call (grouped path, or
         zero-shuffle over scan-aligned whole-file partitions), the kernel
@@ -1064,7 +1074,8 @@ class SearchIndex:
             return self._hits(tokens, similarity=similarity,
                               block_ids=block_ids), False
         return self._hits(tokens, similarity=similarity,
-                          block_ids=block_ids, or_combine=True), True
+                          block_ids=block_ids, or_combine=True,
+                          or_maxscore=or_maxscore), True
 
     def _hits(self, tokens: List[List[str]], similarity=None,
               min_posn: Optional[int] = None, max_posn: Optional[int] = None,
@@ -1072,6 +1083,7 @@ class SearchIndex:
               candidates: Optional[DataFrame] = None,
               or_combine: bool = False,
               per_token_topk: Optional[int] = None,
+              or_maxscore=None,
               _as_pandas: bool = False):
         """(token_idx, doc_id, tf, score) for each query token (term or
         phrase), computed block-locally.
@@ -1144,10 +1156,16 @@ class SearchIndex:
                         if cand_raw is not None else None)
             out_tok, out_doc, out_tf, out_score = [], [], [], []
             empty = np.zeros(0, dtype=np.uint64)
-            for idx, tok in enumerate(tokens_b):
+
+            def token_hits(tok, restrict):
+                """(local ids, tfs) for one query token, or None.
+                ``restrict`` (sorted local ids) semi-joins the postings
+                before freq computation — the MaxScore skip."""
                 encoded = [packed.get(t, empty) for t in tok]
                 if cand_ids is not None:
                     encoded = [K.slice_keys(e, cand_ids) for e in encoded]
+                if restrict is not None:
+                    encoded = [K.slice_keys(e, restrict) for e in encoded]
                 if min_posn is not None or max_posn is not None:
                     encoded = [K.slice_posn_window(e, min_posn, max_posn)
                                for e in encoded]
@@ -1159,11 +1177,61 @@ class SearchIndex:
                     from .spans import span_freqs
                     ids, tfs = span_freqs(encoded, slop)
                 if len(ids) == 0:
-                    continue
+                    return None
                 keep = tfs > 0
                 ids, tfs = ids[keep], tfs[keep]
                 if len(ids) == 0:
-                    continue
+                    return None
+                return ids, tfs
+
+            hit_list = []  # (token_idx, local ids, tfs)
+            if or_combine and or_maxscore is not None:
+                # term-level MaxScore inside the kernel (Turtle & Flood
+                # 1995): with theta = the kth score from the seed phase,
+                # tokens whose upper bounds can't SUM to theta are
+                # non-essential — a doc matching only those can't enter
+                # the top-k, so their (hot) postings are semi-joined to
+                # the essential tokens' doc set instead of fully decoded.
+                # Bounds carry the (1+eps) inflation from _block_bounds,
+                # so every drop is strict (rank-identity preserved,
+                # tests/test_wand.py).
+                per_tok_b, theta = or_maxscore
+                ubs = np.asarray([_ub_of(per_tok_b[j], block_id)
+                                  for j in range(len(tokens_b))])
+                if float(ubs.sum()) < theta:
+                    return empty_out()
+                order = np.argsort(-ubs, kind="stable")
+                n = len(order)
+                n_ess = n
+                for ce in range(1, n + 1):
+                    after = float(ubs[order[ce:]].sum()) if ce < n else 0.0
+                    if after < theta:
+                        n_ess = ce
+                        break
+                cand_parts = []
+                for j in order[:n_ess]:
+                    r = token_hits(tokens_b[j], None)
+                    if r is not None:
+                        hit_list.append((int(j), r[0], r[1]))
+                        cand_parts.append(r[0])
+                if not cand_parts:
+                    return empty_out()
+                restrict = np.unique(np.concatenate(cand_parts))
+                for j in order[n_ess:]:
+                    if ubs[j] <= 0.0:
+                        continue  # sketch says token absent from block
+                    r = token_hits(tokens_b[j], restrict)
+                    if r is not None:
+                        hit_list.append((int(j), r[0], r[1]))
+                hit_list.sort(key=lambda h: h[0])
+            else:
+                for idx, tok in enumerate(tokens_b):
+                    r = token_hits(tok, None)
+                    if r is not None:
+                        hit_list.append((idx, r[0], r[1]))
+
+            for idx, ids, tfs in hit_list:
+                tok = tokens_b[idx]
                 tfs = tfs.astype(np.float32)
                 dls = dl_lens[np.searchsorted(dl_ids, ids)]
                 tok_dfs = np.asarray([dfs_b[t] for t in tok], dtype=np.float32)
@@ -1467,9 +1535,13 @@ class SearchIndex:
         sketches = self._term_sketches(all_terms)
         dfs = self.docfreqs(all_terms)
         bounds: dict = {}
+        no_blocks = (np.empty(0, dtype=np.int64), np.empty(0))
+        per_tok: list = []  # (block ids asc, inflated ubs) per token —
+        # the kernel-side term-level MaxScore split uses these
         for tok in tokens:
             sks = [sketches[t] for t in tok]
             if any(s is None for s in sks):
+                per_tok.append(no_blocks)
                 continue
             rare = min(sks, key=lambda s: s.covered())
             blocks = rare.expand(self.WAND_EXPAND_CAP)
@@ -1486,6 +1558,7 @@ class SearchIndex:
                 dl_m = np.minimum(dl_m, dl)
             blocks, tf_m, dl_m = blocks[mask], tf_m[mask], dl_m[mask]
             if not len(blocks):
+                per_tok.append(no_blocks)
                 continue
             tok_dfs = np.asarray([dfs[t] for t in tok], dtype=np.float32)
             ubs = np.asarray(
@@ -1493,11 +1566,13 @@ class SearchIndex:
                        dl_m.astype(np.float32), self.avg_doc_len,
                        self.num_docs),
                 dtype=np.float64) * (1.0 + self._WAND_EPS)
+            per_tok.append((blocks.astype(np.int64), ubs))
             for b, ub in zip(blocks.tolist(), ubs.tolist()):
                 bounds[b] = bounds.get(b, 0.0) + ub
+        result = (bounds, per_tok)
         if cache_key is not None:
-            self._bounds_cache[cache_key] = bounds
-        return bounds
+            self._bounds_cache[cache_key] = result
+        return result
 
     def top_k_pruned(self, tokens: Union[TokenArg, Sequence[TokenArg]],
                      k: int = 10, similarity=None) -> DataFrame:
@@ -1547,10 +1622,12 @@ class SearchIndex:
             out._wand_blocks_scanned = -1
             out._wand_blocks_total = -1
             return out
-        bounds = None
+        bounds = per_tok = None
         if getattr(sim_fn, "monotone_bounds", False):
-            bounds = self._block_bounds(tokens_list, sim_fn,
-                                        cache_key=cache_key)
+            bb = self._block_bounds(tokens_list, sim_fn,
+                                    cache_key=cache_key)
+            if bb is not None:
+                bounds, per_tok = bb
         if bounds is None:
             hits, combined = self._hits_or(tokens_list, similarity=similarity)
             if combined:  # kernel-side per-doc sums: TakeOrdered, no shuffle
@@ -1590,9 +1667,13 @@ class SearchIndex:
                 while i < len(blocks) and blocks[i][1] >= theta:
                     chunk.append(blocks[i][0])
                     i += 1
+            # after the seed phase, theta feeds the kernel-side
+            # term-level MaxScore split (per-token bounds + threshold)
+            ms = (per_tok, float(theta)) if theta is not None else None
             hits, combined = self._hits_or(tokens_list,
                                            similarity=similarity,
-                                           block_ids=chunk)
+                                           block_ids=chunk,
+                                           or_maxscore=ms)
             if combined:  # per-doc sums already final: no exchange
                 rows = hits.orderBy(F.desc("score"), F.asc("doc_id")) \
                     .limit(k).collect()

@@ -148,6 +148,9 @@ def test_misaligned_index_falls_back_and_stays_correct(spark, tmp_path,
         json.dump(meta, fh)
 
     bad = SearchIndex(spark, bad_path)
+    # the driver-local path reads whole files and is immune to row-group
+    # misalignment; pin the distributed scan — IT is what's under test
+    bad._local_ok = False
     assert bad._files_aligned() is False  # footer walk catches it
     assert _phrase_rows(bad, ["aaa", "zzz"]) == truth  # grouped fallback
 

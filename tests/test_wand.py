@@ -114,3 +114,34 @@ def test_unhashable_similarity_skips_cache(skewed_index):
 
     out = skewed_index.top_k_pruned("target", k=3, similarity=Sim()).collect()
     assert len(out) == 3
+
+
+def test_maxscore_kernel_split_rank_identical(spark, tmp_path):
+    """Force the term-level MaxScore split (hot non-essential terms vs a
+    rare high-scoring one) and check rank identity + that the kernel
+    path actually engages (theta known after seed, hot terms
+    semi-joined)."""
+    import numpy as np
+    rng = np.random.default_rng(11)
+    docs = []
+    for i in range(4000):
+        base = " ".join(rng.choice(["hot", "warm", "cool"], 12))
+        if i % 500 == 3:
+            docs.append("needle " + base)
+        else:
+            docs.append(base)
+    df = spark.createDataFrame(list(enumerate(docs)),
+                               "doc_id long, text string")
+    idx = build_index(spark, df, str(tmp_path / "ms"),
+                      doc_id_col="doc_id", docs_per_block=64)
+    idx._local_ok = False  # distributed path: MaxScore is kernel-side
+    from pyspark.sql import functions as F
+    for terms in (["needle", "hot"], ["needle", "hot", "warm"],
+                  ["hot", "warm"]):
+        exact = [(r["doc_id"], round(float(r["score"]), 4))
+                 for r in idx.search_or(terms, mm=1)
+                 .orderBy(F.desc("score"), F.asc("doc_id")).limit(7)
+                 .collect()]
+        pruned = [(r["doc_id"], round(float(r["score"]), 4))
+                  for r in idx.top_k_pruned(terms, k=7).collect()]
+        assert pruned == exact, terms
