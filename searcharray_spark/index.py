@@ -221,6 +221,66 @@ def _load_doclens_file(path: str) -> dict:
     return out
 
 
+_TOMB_FILE_CACHE: dict = {}
+_TOMB_FILE_CACHE_MAX = 64
+
+
+def _load_tomb_file(path: str) -> dict:
+    """Read one packed-tombstone parquet file ->
+    {block_id: (local doc_ids int64, segs int64)}; process-wide cache
+    (same executor-reuse rationale as _load_doclens_file)."""
+    hit = _TOMB_FILE_CACHE.get(path)
+    if hit is not None:
+        return hit
+    import pyarrow.parquet as pq
+    tbl = pq.read_table(path, columns=["block_id", "doc_ids", "segs"])
+    out = {}
+    for b, i, s in zip(tbl.column("block_id").to_pylist(),
+                       tbl.column("doc_ids").to_pylist(),
+                       tbl.column("segs").to_pylist()):
+        out[int(b)] = (np.frombuffer(i, dtype="<i8"),
+                       np.frombuffer(s, dtype="<i8"))
+    if len(_TOMB_FILE_CACHE) >= _TOMB_FILE_CACHE_MAX:
+        _TOMB_FILE_CACHE.pop(next(iter(_TOMB_FILE_CACHE)))
+    _TOMB_FILE_CACHE[path] = out
+    return out
+
+
+class TombstoneReader:
+    """Side-input tombstone lookup for mass deletes: above the driver
+    cap the tombstone set lives in a block-range-partitioned parquet
+    side table (tombstones_packed/) and kernels resolve a block's
+    tombstones by reading only the file covering it — the DoclensReader
+    pattern — instead of a driver dict + broadcast that grows
+    O(deletes) on the driver. Same .get(block) -> (local_ids, segs)
+    contract as the dict."""
+
+    def __init__(self, ranges):
+        self.ranges = ranges  # [(path, lo_block, hi_block)]
+
+    def __bool__(self) -> bool:
+        return bool(self.ranges)
+
+    def get(self, block_id: int):
+        for path, lo, hi in self.ranges:
+            if lo <= block_id <= hi:
+                row = _load_tomb_file(path).get(int(block_id))
+                if row is not None:
+                    return row
+        return None
+
+
+def _parquet_row_count(root: str) -> int:
+    """Total rows under a parquet dir from footers only (no data read)."""
+    import pyarrow.parquet as pq
+    n = 0
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            if f.endswith(".parquet"):
+                n += pq.ParquetFile(os.path.join(dirpath, f)).metadata.num_rows
+    return n
+
+
 def scan_doclens_ranges(sources) -> list:
     """[(seg, file, min_block, max_block)] for every parquet file under
     each (seg, root) source, from parquet footer stats — driver-side,
@@ -387,44 +447,132 @@ class SearchIndex:
         tomb = 0
         tpath = os.path.join(self.path, "tombstones")
         if os.path.isdir(tpath):
+            # footer stats only (mass-delete logs can be huge); fall back
+            # to a column read for files without statistics
             import pyarrow.compute as pc
             import pyarrow.parquet as pq
-            mx = pc.max(pq.read_table(tpath, columns=["seg"])
-                        .column("seg")).as_py()
+            mx = None
+            for dirpath, _, files in os.walk(tpath):
+                for f in files:
+                    if not f.endswith(".parquet"):
+                        continue
+                    fp = os.path.join(dirpath, f)
+                    md = pq.ParquetFile(fp).metadata
+                    for rg in range(md.num_row_groups):
+                        row_grp = md.row_group(rg)
+                        for ci in range(row_grp.num_columns):
+                            col = row_grp.column(ci)
+                            if col.path_in_schema != "seg":
+                                continue
+                            st = col.statistics
+                            if st is not None and st.has_min_max:
+                                v = int(st.max)
+                            else:
+                                v = pc.max(pq.read_table(
+                                    fp, columns=["seg"]).column("seg")).as_py()
+                                v = int(v or 0)
+                            mx = v if mx is None else max(mx, v)
             tomb = int(mx or 0)
         segs = self._update_segs()
         return max([tomb] + segs + [0]) + 1
 
-    def _tombstones(self) -> dict:
-        """{block_id: (sorted local doc_ids, parallel seg array)} — small
-        driver-side dict (deletes are bounded between compactions)."""
+    # above this many tombstone rows the driver dict + task-closure ship
+    # is replaced by the parquet side table (TombstoneReader): bounded
+    # driver memory no matter how much of the corpus is deleted
+    # incrementally (ROADMAP §8; ~32 MB of driver dict at the cap)
+    TOMBSTONE_DRIVER_MAX_ROWS = 2_000_000
+
+    def _tombstones(self):
+        """Tombstone lookup: {block_id: (sorted local doc_ids, parallel
+        max-seg array)} as a driver dict below TOMBSTONE_DRIVER_MAX_ROWS,
+        else a TombstoneReader over the block-partitioned side table
+        (same .get contract; kernels don't care which)."""
         if getattr(self, "_tomb_cache", None) is not None:
             return self._tomb_cache
         tpath = os.path.join(self.path, "tombstones")
-        out: dict = {}
+        out = {}
         if os.path.isdir(tpath):
-            # bounded between compactions (documented design limit) —
-            # a driver pyarrow read, no Spark job
-            import pyarrow.parquet as pq
-            pdf = pq.read_table(tpath).to_pandas()
-            if len(pdf):
-                ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-                segs = pdf["seg"].to_numpy(dtype=np.int64)
-                blocks = ids // self.docs_per_block
-                local = ids % self.docs_per_block
-                order = np.lexsort((segs, local, blocks))
-                blocks, local, segs = blocks[order], local[order], segs[order]
-                # keep the max seg per doc (later ops win)
-                for b in np.unique(blocks):
-                    m = blocks == b
-                    lid, sg = local[m], segs[m]
-                    starts = np.concatenate(([0], np.flatnonzero(np.diff(lid)) + 1,
-                                             [len(lid)]))
-                    u = lid[starts[:-1]]
-                    mx = np.maximum.reduceat(sg, starts[:-1])
-                    out[int(b)] = (u, mx)
+            n_rows = _parquet_row_count(tpath)
+            if n_rows > self.TOMBSTONE_DRIVER_MAX_ROWS:
+                out = self._tombstone_reader(n_rows)
+            else:
+                # bounded driver pyarrow read, no Spark job
+                import pyarrow.parquet as pq
+                pdf = pq.read_table(tpath).to_pandas()
+                if len(pdf):
+                    ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+                    segs = pdf["seg"].to_numpy(dtype=np.int64)
+                    blocks = ids // self.docs_per_block
+                    local = ids % self.docs_per_block
+                    order = np.lexsort((segs, local, blocks))
+                    blocks, local, segs = (blocks[order], local[order],
+                                           segs[order])
+                    # keep the max seg per doc (later ops win)
+                    for b in np.unique(blocks):
+                        m = blocks == b
+                        lid, sg = local[m], segs[m]
+                        starts = np.concatenate(
+                            ([0], np.flatnonzero(np.diff(lid)) + 1,
+                             [len(lid)]))
+                        u = lid[starts[:-1]]
+                        mx = np.maximum.reduceat(sg, starts[:-1])
+                        out[int(b)] = (u, mx)
         self._tomb_cache = out
         return out
+
+    def _tombstone_reader(self, n_rows: int) -> TombstoneReader:
+        """Side-table mode: (re)pack the raw tombstone log into a
+        block-range-partitioned parquet table when stale (one Spark job
+        over O(deletes) rows), then hand out footer-resolved ranges."""
+        packed = os.path.join(self.path, "tombstones_packed")
+        marker = os.path.join(packed, "_rows.json")
+        fresh = False
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                fresh = json.load(fh).get("rows") == n_rows
+        if not fresh:
+            self._pack_tombstones(packed, n_rows)
+        ranges = [(p, lo, hi)
+                  for _, p, lo, hi in scan_doclens_ranges([(0, packed)])]
+        return TombstoneReader(ranges)
+
+    def _pack_tombstones(self, packed: str, n_rows: int) -> None:
+        import shutil
+
+        dpb = self.docs_per_block
+
+        def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            b = int(key[0])
+            lid = pdf["doc_id"].to_numpy(dtype=np.int64) % dpb
+            seg = pdf["seg"].to_numpy(dtype=np.int64)
+            order = np.lexsort((seg, lid))
+            lid, seg = lid[order], seg[order]
+            starts = np.concatenate(
+                ([0], np.flatnonzero(np.diff(lid)) + 1, [len(lid)]))
+            u = lid[starts[:-1]]
+            mx = np.maximum.reduceat(seg, starts[:-1])
+            return pd.DataFrame({
+                "block_id": [b],
+                "doc_ids": [u.astype("<i8").tobytes()],
+                "segs": [mx.astype("<i8").tobytes()]})
+
+        n_parts = max(4, self.spark.sparkContext.defaultParallelism)
+        tmp = packed + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        self.spark.read.parquet(os.path.join(self.path, "tombstones")) \
+            .withColumn("block_id",
+                        F.floor(F.col("doc_id") / F.lit(dpb)).cast("long")) \
+            .groupBy("block_id") \
+            .applyInPandas(pack, "block_id long, doc_ids binary, segs binary") \
+            .repartitionByRange(n_parts, "block_id") \
+            .sortWithinPartitions("block_id") \
+            .write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(packed, ignore_errors=True)
+        os.rename(tmp, packed)
+        # marker LAST: a crash mid-swap leaves no/stale marker -> repack
+        with open(os.path.join(packed, "_rows.json"), "w") as fh:
+            json.dump({"rows": n_rows}, fh)
+        _TOMB_FILE_CACHE.clear()  # old side-table files are gone
 
     def delete_docs(self, doc_ids) -> None:
         """Tombstone docs: they stop matching every query immediately.
@@ -580,7 +728,7 @@ class SearchIndex:
             return out
         tomb_bc = self.spark.sparkContext.broadcast(tomb)
         posts = self.postings.filter(F.col("term").isin(list(terms)))
-        if len(tomb) <= 8192:
+        if isinstance(tomb, dict) and len(tomb) <= 8192:
             # push the tombstoned-block set into the scan; a mass delete
             # touching more blocks skips the in-list (planner cost) and
             # lets the kernel's per-block tomb lookup do the filtering
