@@ -121,13 +121,21 @@ def main():
         out["sustained_qps"] = max(a["sustained_qps"], b["sustained_qps"])
         return out
 
+    # HARD core budget per level, same rationale as bench_scaling.py:
+    # un-pinned local[N] consumes >N cores (GC/IO threads), inflating the
+    # small level and understating the N-vs-4N ratio
+    pin = (os.environ.get("BENCH_PIN_CORES", "1") == "1"
+           and shutil.which("taskset"))
     for w in range(windows):
         for cpus in (small_n, large_n):
             os.sync()
             time.sleep(15)
+            cmd = [sys.executable, os.path.abspath(__file__), "--worker",
+                   str(cpus), idx_path]
+            if pin:
+                cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
             proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--worker",
-                 str(cpus), idx_path],
+                cmd,
                 capture_output=True, text=True, timeout=3600,
                 cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
             line = [ln for ln in proc.stdout.splitlines()

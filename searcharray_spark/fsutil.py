@@ -96,6 +96,50 @@ def parquet_file(path: str):
     return pq.ParquetFile(p, filesystem=f)
 
 
+def write_json(path: str, obj) -> None:
+    f, p = resolve(path)
+    with f.open_output_stream(p) as fh:
+        fh.write(json.dumps(obj).encode("utf-8"))
+
+
+def write_json_atomic(path: str, obj) -> None:
+    """Write via a temp name + move (atomic rename on LocalFileSystem;
+    best-effort on object stores, where the read path tolerates a
+    missing/stale file by re-deriving)."""
+    f, p = resolve(path)
+    tmp = p + ".tmp"
+    with f.open_output_stream(tmp) as fh:
+        fh.write(json.dumps(obj).encode("utf-8"))
+    f.move(tmp, p)
+
+
+def rmtree(path: str) -> None:
+    from pyarrow import fs as pafs
+    f, p = resolve(path)
+    if f.get_file_info(p).type == pafs.FileType.Directory:
+        f.delete_dir(p)
+
+
+def move(path_src: str, path_dst: str) -> None:
+    f, ps = resolve(path_src)
+    _, pd = resolve(path_dst)
+    f.move(ps, pd)
+
+
+def local_path(path: str) -> str:
+    """POSIX path for a local path or file:// URI. Index MUTATIONS that
+    shell out to the (local-filesystem) build pipeline use this; truly
+    remote indexes get a clear NotImplementedError instead of a broken
+    os.* call."""
+    if path.startswith("file://"):
+        return path[len("file://"):]
+    if "://" in path:
+        raise NotImplementedError(
+            f"this operation builds new segments with local-filesystem "
+            f"tooling; got remote location {path!r}")
+    return path
+
+
 def is_local(path: str) -> bool:
     from pyarrow import fs as pafs
     f, _ = resolve(path)

@@ -34,6 +34,7 @@ from pyspark.sql.types import (
     ArrayType, FloatType, IntegerType, LongType, StructField, StructType,
 )
 
+from . import fsutil
 from . import kernels as K
 from . import similarity as sim_mod
 from . import tokenizers
@@ -208,8 +209,8 @@ def _load_doclens_file(path: str) -> dict:
     hit = _DL_FILE_CACHE.get(path)
     if hit is not None:
         return hit
-    import pyarrow.parquet as pq
-    tbl = pq.read_table(path, columns=["block_id", "doc_ids", "doc_lens"])
+    tbl = fsutil.read_parquet(path,
+                              columns=["block_id", "doc_ids", "doc_lens"])
     out = {}
     for b, i, ln in zip(tbl.column("block_id").to_pylist(),
                         tbl.column("doc_ids").to_pylist(),
@@ -232,8 +233,7 @@ def _load_tomb_file(path: str) -> dict:
     hit = _TOMB_FILE_CACHE.get(path)
     if hit is not None:
         return hit
-    import pyarrow.parquet as pq
-    tbl = pq.read_table(path, columns=["block_id", "doc_ids", "segs"])
+    tbl = fsutil.read_parquet(path, columns=["block_id", "doc_ids", "segs"])
     out = {}
     for b, i, s in zip(tbl.column("block_id").to_pylist(),
                        tbl.column("doc_ids").to_pylist(),
@@ -271,14 +271,10 @@ class TombstoneReader:
 
 
 def _parquet_row_count(root: str) -> int:
-    """Total rows under a parquet dir from footers only (no data read)."""
-    import pyarrow.parquet as pq
-    n = 0
-    for dirpath, _, files in os.walk(root):
-        for f in files:
-            if f.endswith(".parquet"):
-                n += pq.ParquetFile(os.path.join(dirpath, f)).metadata.num_rows
-    return n
+    """Total rows under a parquet dir from footers only (no data read);
+    path or URI (fsutil)."""
+    return sum(fsutil.parquet_file(f).metadata.num_rows
+               for f, _ in fsutil.list_parquet_files(root))
 
 
 def scan_doclens_ranges(sources) -> list:
@@ -286,15 +282,10 @@ def scan_doclens_ranges(sources) -> list:
     each (seg, root) source, from parquet footer stats — driver-side,
     O(files) footer reads, no data read. The block->file map DoclensReader
     side-input lookups use (query path and compaction both)."""
-    import pyarrow.parquet as pq
     out = []
     for seg, root in sources:
-        for dirpath, _, files in os.walk(root):
-            for f in sorted(files):
-                if not f.endswith(".parquet"):
-                    continue
-                p = os.path.join(dirpath, f)
-                md = pq.ParquetFile(p).metadata
+        for p, _sz in fsutil.list_parquet_files(root):
+                md = fsutil.parquet_file(p).metadata
                 lo = hi = None
                 for rg in range(md.num_row_groups):
                     row_grp = md.row_group(rg)
@@ -307,7 +298,7 @@ def scan_doclens_ranges(sources) -> list:
                             lo = int(st.min) if lo is None else min(lo, int(st.min))
                             hi = int(st.max) if hi is None else max(hi, int(st.max))
                 if lo is None:  # stats disabled: read the tiny column
-                    ids = pq.read_table(p, columns=["block_id"]) \
+                    ids = fsutil.read_parquet(p, columns=["block_id"]) \
                         .column(0).to_pylist()
                     if not ids:
                         continue
@@ -365,17 +356,13 @@ class SearchIndex:
         # POSIX paths; a remote object-store index would need these routed
         # through pyarrow.fs.FileSystem.from_uri (ROADMAP). Fail fast with
         # a clear message instead of an executor-side FileNotFoundError.
-        scheme = path.split("://", 1)[0] if "://" in path else ""
-        if scheme not in ("", "file"):
-            raise NotImplementedError(
-                f"SearchIndex requires a filesystem path shared by driver "
-                f"and executors (got scheme '{scheme}://'). Remote stores "
-                f"(s3/hdfs) need the pyarrow.fs side-input route — see "
-                f"ROADMAP.md.")
-        if path.startswith("file://"):
-            path = self.path = path[len("file://"):]
-        with open(os.path.join(path, "meta.json")) as fh:
-            self.meta = json.load(fh)
+        path = self.path = path.rstrip("/") or "/"
+        # resolve the scheme through pyarrow.fs up front: every metadata
+        # and side-input read below goes through fsutil, so a file://
+        # URI exercises the exact route an object-store index would
+        # (unsupported schemes fail fast with a clear message here)
+        fsutil.resolve(path)
+        self.meta = fsutil.read_json(fsutil.join(path, "meta.json"))
         self.docs_per_block = int(self.meta["docs_per_block"])
         self.num_docs = int(self.meta["num_docs"])
         self.avg_doc_len = float(self.meta["avg_doc_len"])
@@ -387,13 +374,12 @@ class SearchIndex:
         # as-built doc-id space: dense (test-parity) outputs keep this
         # shape even after deletes shrink the LIVE num_docs below it
         self.capacity = int(self.meta["num_docs"])
-        patch = os.path.join(path, "stats_patch.json")
-        if os.path.exists(patch):
+        patch = fsutil.join(path, "stats_patch.json")
+        if fsutil.exists(patch):
             # live corpus stats after delete/update ops (exact deltas
             # applied by _patch_stats; compact resets by writing exact
             # stats into meta and no patch file)
-            with open(patch) as fh:
-                p = json.load(fh)
+            p = fsutil.read_json(patch)
             self.num_docs = int(p["num_docs"])
             self.total_tokens = float(p["total_tokens"])
             self.avg_doc_len = (self.total_tokens / self.num_docs
@@ -437,27 +423,20 @@ class SearchIndex:
     # (Lucene-style deleted-docs semantics).
 
     def _update_segs(self) -> List[int]:
-        root = os.path.join(self.path, "updates")
-        if not os.path.isdir(root):
-            return []
-        return sorted(int(d.split("=", 1)[1]) for d in os.listdir(root)
+        root = fsutil.join(self.path, "updates")
+        return sorted(int(d.split("=", 1)[1]) for d in fsutil.listdir(root)
                       if d.startswith("seg="))
 
     def _next_epoch(self) -> int:
         tomb = 0
-        tpath = os.path.join(self.path, "tombstones")
-        if os.path.isdir(tpath):
+        tpath = fsutil.join(self.path, "tombstones")
+        if fsutil.isdir(tpath):
             # footer stats only (mass-delete logs can be huge); fall back
             # to a column read for files without statistics
             import pyarrow.compute as pc
-            import pyarrow.parquet as pq
             mx = None
-            for dirpath, _, files in os.walk(tpath):
-                for f in files:
-                    if not f.endswith(".parquet"):
-                        continue
-                    fp = os.path.join(dirpath, f)
-                    md = pq.ParquetFile(fp).metadata
+            for fp, _sz in fsutil.list_parquet_files(tpath):
+                    md = fsutil.parquet_file(fp).metadata
                     for rg in range(md.num_row_groups):
                         row_grp = md.row_group(rg)
                         for ci in range(row_grp.num_columns):
@@ -468,7 +447,7 @@ class SearchIndex:
                             if st is not None and st.has_min_max:
                                 v = int(st.max)
                             else:
-                                v = pc.max(pq.read_table(
+                                v = pc.max(fsutil.read_parquet(
                                     fp, columns=["seg"]).column("seg")).as_py()
                                 v = int(v or 0)
                             mx = v if mx is None else max(mx, v)
@@ -489,16 +468,15 @@ class SearchIndex:
         (same .get contract; kernels don't care which)."""
         if getattr(self, "_tomb_cache", None) is not None:
             return self._tomb_cache
-        tpath = os.path.join(self.path, "tombstones")
+        tpath = fsutil.join(self.path, "tombstones")
         out = {}
-        if os.path.isdir(tpath):
+        if fsutil.isdir(tpath):
             n_rows = _parquet_row_count(tpath)
             if n_rows > self.TOMBSTONE_DRIVER_MAX_ROWS:
                 out = self._tombstone_reader(n_rows)
             else:
                 # bounded driver pyarrow read, no Spark job
-                import pyarrow.parquet as pq
-                pdf = pq.read_table(tpath).to_pandas()
+                pdf = fsutil.read_parquet(tpath).to_pandas()
                 if len(pdf):
                     ids = pdf["doc_id"].to_numpy(dtype=np.int64)
                     segs = pdf["seg"].to_numpy(dtype=np.int64)
@@ -524,12 +502,11 @@ class SearchIndex:
         """Side-table mode: (re)pack the raw tombstone log into a
         block-range-partitioned parquet table when stale (one Spark job
         over O(deletes) rows), then hand out footer-resolved ranges."""
-        packed = os.path.join(self.path, "tombstones_packed")
-        marker = os.path.join(packed, "_rows.json")
+        packed = fsutil.join(self.path, "tombstones_packed")
+        marker = fsutil.join(packed, "_rows.json")
         fresh = False
-        if os.path.exists(marker):
-            with open(marker) as fh:
-                fresh = json.load(fh).get("rows") == n_rows
+        if fsutil.exists(marker):
+            fresh = fsutil.read_json(marker).get("rows") == n_rows
         if not fresh:
             self._pack_tombstones(packed, n_rows)
         ranges = [(p, lo, hi)
@@ -537,8 +514,6 @@ class SearchIndex:
         return TombstoneReader(ranges)
 
     def _pack_tombstones(self, packed: str, n_rows: int) -> None:
-        import shutil
-
         dpb = self.docs_per_block
 
         def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -558,8 +533,8 @@ class SearchIndex:
 
         n_parts = max(4, self.spark.sparkContext.defaultParallelism)
         tmp = packed + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
-        self.spark.read.parquet(os.path.join(self.path, "tombstones")) \
+        fsutil.rmtree(tmp)
+        self.spark.read.parquet(fsutil.join(self.path, "tombstones")) \
             .withColumn("block_id",
                         F.floor(F.col("doc_id") / F.lit(dpb)).cast("long")) \
             .groupBy("block_id") \
@@ -567,11 +542,11 @@ class SearchIndex:
             .repartitionByRange(n_parts, "block_id") \
             .sortWithinPartitions("block_id") \
             .write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(packed, ignore_errors=True)
-        os.rename(tmp, packed)
+        fsutil.rmtree(packed)
+        fsutil.move(tmp, packed)
         # marker LAST: a crash mid-swap leaves no/stale marker -> repack
-        with open(os.path.join(packed, "_rows.json"), "w") as fh:
-            json.dump({"rows": n_rows}, fh)
+        fsutil.write_json(fsutil.join(packed, "_rows.json"),
+                          {"rows": n_rows})
         _TOMB_FILE_CACHE.clear()  # old side-table files are gone
 
     def delete_docs(self, doc_ids) -> None:
@@ -589,7 +564,7 @@ class SearchIndex:
         df = self.spark.createDataFrame(
             [(int(d), epoch) for d in ids.tolist()], "doc_id long, seg long")
         df.coalesce(1).write.mode("append").parquet(
-            os.path.join(self.path, "tombstones"))
+            fsutil.join(self.path, "tombstones"))
         self._invalidate_caches()
         self._patch_stats(-int(live.sum()), -float(lens[live].sum()))
 
@@ -607,7 +582,10 @@ class SearchIndex:
         if not ids:
             return
         live, lens = self._live_lens(np.asarray(ids, dtype=np.int64))
-        seg_path = os.path.join(self.path, "updates", f"seg={epoch}")
+        # the segment build shells out to the local build pipeline; a
+        # file:// index maps to its POSIX path, truly remote fails fast
+        seg_path = fsutil.local_path(
+            fsutil.join(self.path, "updates", f"seg={epoch}"))
         build_index(self.spark, docs, seg_path, text_col=text_col,
                     doc_id_col="doc_id",
                     tokenizer=self.tokenizer if self.meta["tokenizer"] == "custom"
@@ -617,7 +595,7 @@ class SearchIndex:
         tdf = self.spark.createDataFrame(
             [(d, epoch) for d in ids], "doc_id long, seg long")
         tdf.coalesce(1).write.mode("append").parquet(
-            os.path.join(self.path, "tombstones"))
+            fsutil.join(self.path, "tombstones"))
         self._invalidate_caches()
         seg_meta = self._seg_meta(epoch)
         self._patch_stats(
@@ -633,11 +611,10 @@ class SearchIndex:
         self.total_tokens = float(self.total_tokens + delta_tokens)
         self.avg_doc_len = (self.total_tokens / self.num_docs
                             if self.num_docs else 0.0)
-        tmp = os.path.join(self.path, "stats_patch.json.tmp")
-        with open(tmp, "w") as fh:
-            json.dump({"num_docs": self.num_docs,
-                       "total_tokens": self.total_tokens}, fh)
-        os.replace(tmp, os.path.join(self.path, "stats_patch.json"))
+        fsutil.write_json_atomic(
+            fsutil.join(self.path, "stats_patch.json"),
+            {"num_docs": self.num_docs,
+             "total_tokens": self.total_tokens})
 
     def _live_lens(self, ids: np.ndarray):
         """(live_mask, doc_len) per unique GLOBAL doc id against the
@@ -781,9 +758,8 @@ class SearchIndex:
         self._aligned = None
 
     def _seg_meta(self, seg: int) -> dict:
-        with open(os.path.join(self.path, "updates", f"seg={seg}",
-                               "meta.json")) as fh:
-            return json.load(fh)
+        return fsutil.read_json(fsutil.join(
+            self.path, "updates", f"seg={seg}", "meta.json"))
 
     def _files_aligned(self) -> bool:
         """True when every postings parquet file holds EXACTLY ONE row
@@ -811,9 +787,9 @@ class SearchIndex:
             self._aligned = False
             return False
         from .indexing import verify_single_row_group
-        sources = [(self.meta, os.path.join(self.path, "postings"))]
+        sources = [(self.meta, fsutil.join(self.path, "postings"))]
         sources += [(self._seg_meta(s),
-                     os.path.join(self.path, "updates", f"seg={s}", "postings"))
+                     fsutil.join(self.path, "updates", f"seg={s}", "postings"))
                     for s in self._update_segs()]
         aligned = True
         for meta, root in sources:
@@ -832,11 +808,11 @@ class SearchIndex:
     def postings(self) -> DataFrame:
         if self._postings_df is not None:
             return self._postings_df
-        base = self.spark.read.parquet(os.path.join(self.path, "postings")) \
+        base = self.spark.read.parquet(fsutil.join(self.path, "postings")) \
             .withColumn("seg", F.lit(0).cast("long"))
         for s in self._update_segs():
             seg = self.spark.read.parquet(
-                os.path.join(self.path, "updates", f"seg={s}", "postings")) \
+                fsutil.join(self.path, "updates", f"seg={s}", "postings")) \
                 .withColumn("seg", F.lit(s).cast("long"))
             base = base.unionByName(seg)
         return base
@@ -845,11 +821,11 @@ class SearchIndex:
     def doclens(self) -> DataFrame:
         if self._doclens_df is not None:
             return self._doclens_df
-        base = self.spark.read.parquet(os.path.join(self.path, "doclens")) \
+        base = self.spark.read.parquet(fsutil.join(self.path, "doclens")) \
             .withColumn("seg", F.lit(0).cast("long"))
         for s in self._update_segs():
             seg = self.spark.read.parquet(
-                os.path.join(self.path, "updates", f"seg={s}", "doclens")) \
+                fsutil.join(self.path, "updates", f"seg={s}", "doclens")) \
                 .withColumn("seg", F.lit(s).cast("long"))
             base = base.unionByName(seg)
         return base
@@ -909,7 +885,7 @@ class SearchIndex:
 
     @property
     def term_stats(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.path, "term_stats"))
+        return self.spark.read.parquet(fsutil.join(self.path, "term_stats"))
 
     def _sketches_available(self) -> bool:
         if getattr(self, "_has_sketches", None) is None:
@@ -937,7 +913,7 @@ class SearchIndex:
                 sources = [(int(self.meta.get("bounds_granularity", 1)),
                             True, self.term_stats)]
                 for s in self._update_segs():
-                    ts = self.spark.read.parquet(os.path.join(
+                    ts = self.spark.read.parquet(fsutil.join(
                         self.path, "updates", f"seg={s}", "term_stats"))
                     sources.append(
                         (int(self._seg_meta(s).get("bounds_granularity", 1)),
@@ -985,8 +961,8 @@ class SearchIndex:
         reads) — the block->file map DoclensReader side-input reads use."""
         if self._dl_ranges is not None:
             return self._dl_ranges
-        sources = [(0, os.path.join(self.path, "doclens"))]
-        sources += [(s, os.path.join(self.path, "updates", f"seg={s}", "doclens"))
+        sources = [(0, fsutil.join(self.path, "doclens"))]
+        sources += [(s, fsutil.join(self.path, "updates", f"seg={s}", "doclens"))
                     for s in self._update_segs()]
         self._dl_ranges = scan_doclens_ranges(sources)
         return self._dl_ranges
@@ -1050,8 +1026,8 @@ class SearchIndex:
         on _doclens_capacity / _local_query_ok, so the read is bounded)."""
         if getattr(self, "_dl_table", None) is None:
             import pyarrow.parquet as pq
-            sources = [(0, os.path.join(self.path, "doclens"))]
-            sources += [(s, os.path.join(self.path, "updates",
+            sources = [(0, fsutil.join(self.path, "doclens"))]
+            sources += [(s, fsutil.join(self.path, "updates",
                                          f"seg={s}", "doclens"))
                         for s in self._update_segs()]
             by_block: dict = {}
@@ -1096,18 +1072,14 @@ class SearchIndex:
             ok = self._doclens_capacity() <= self.LOCAL_QUERY_MAX_DOCS
             if ok:
                 sz = 0
-                roots = [os.path.join(self.path, "postings")]
-                roots += [os.path.join(self.path, "updates",
+                roots = [fsutil.join(self.path, "postings")]
+                roots += [fsutil.join(self.path, "updates",
                                        f"seg={s}", "postings")
                           for s in self._update_segs()]
                 for root in roots:
-                    for dirpath, _, files in os.walk(root):
-                        for f in files:
-                            if f.endswith(".parquet"):
-                                sz += os.path.getsize(
-                                    os.path.join(dirpath, f))
-                        if sz > self.LOCAL_QUERY_MAX_BYTES:
-                            break
+                    sz += sum(b for _, b in fsutil.list_parquet_files(root))
+                    if sz > self.LOCAL_QUERY_MAX_BYTES:
+                        break
                 ok = sz <= self.LOCAL_QUERY_MAX_BYTES
             self._local_ok = ok
         return self._local_ok
@@ -1118,8 +1090,8 @@ class SearchIndex:
         _local_query_ok()."""
         if getattr(self, "_local_posts", None) is None:
             import pyarrow.parquet as pq
-            sources = [(0, os.path.join(self.path, "postings"))]
-            sources += [(s, os.path.join(self.path, "updates",
+            sources = [(0, fsutil.join(self.path, "postings"))]
+            sources += [(s, fsutil.join(self.path, "updates",
                                          f"seg={s}", "postings"))
                         for s in self._update_segs()]
             store: dict = {}
@@ -1140,10 +1112,10 @@ class SearchIndex:
         if getattr(self, "_local_ts", None) is None:
             import pyarrow.parquet as pq
             sources = [(int(self.meta.get("bounds_granularity", 1)), True,
-                        os.path.join(self.path, "term_stats"))]
+                        fsutil.join(self.path, "term_stats"))]
             sources += [
                 (int(self._seg_meta(s).get("bounds_granularity", 1)), False,
-                 os.path.join(self.path, "updates", f"seg={s}", "term_stats"))
+                 fsutil.join(self.path, "updates", f"seg={s}", "term_stats"))
                 for s in self._update_segs()]
             cols = ["term", "df", "grp_ids", "grp_tf_max", "grp_dl_min"]
             out: dict = {}
@@ -1989,12 +1961,9 @@ class SearchIndex:
         top-N terms by posting bytes."""
         report: dict = {"tables": {}, "top_terms": []}
         for table in ("postings", "doclens", "term_stats"):
-            p = os.path.join(self.path, table)
-            total = 0
-            for root, _, files in os.walk(p):
-                total += sum(os.path.getsize(os.path.join(root, f))
-                             for f in files if f.endswith(".parquet"))
-            report["tables"][table] = total
+            p = fsutil.join(self.path, table)
+            report["tables"][table] = sum(
+                b for _, b in fsutil.list_parquet_files(p))
         rows = self.postings.groupBy("term") \
             .agg(F.sum(F.length("postings")).alias("bytes")) \
             .orderBy(F.desc("bytes")).limit(top_n).collect()

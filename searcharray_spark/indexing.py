@@ -100,13 +100,10 @@ def verify_single_row_group(path: str) -> bool:
     result in meta.json so serving never re-walks; at cluster scale this
     runs once per build on the driver.
     """
-    import pyarrow.parquet as pq
-    for dirpath, _, files in os.walk(path):
-        for f in files:
-            if f.endswith(".parquet"):
-                meta = pq.ParquetFile(os.path.join(dirpath, f)).metadata
-                if meta.num_row_groups > 1:
-                    return False
+    from . import fsutil
+    for f, _sz in fsutil.list_parquet_files(path):
+        if fsutil.parquet_file(f).metadata.num_row_groups > 1:
+            return False
     return True
 
 
