@@ -86,22 +86,32 @@ def main():
     out_path = sys.argv[2] if len(sys.argv) > 2 else "BENCH_query_scaling.json"
     small_n = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     large_n = int(sys.argv[4]) if len(sys.argv) > 4 else 8
-    ensure_corpus(n_docs)
-
     idx_path = f"/tmp/sa_qscale_idx_{n_docs}"
     if not os.path.exists(os.path.join(idx_path, "meta.json")):
-        from searcharray_spark import build_index
-        from searcharray_spark.session import get_spark
+        # corpus only needed to (re)build the index; build in a
+        # SUBPROCESS — a lingering unpinned build JVM in the bench
+        # parent contaminates the timed windows (see bench_scaling.py)
+        ensure_corpus(n_docs)
         shutil.rmtree(idx_path, ignore_errors=True)
-        spark = get_spark("qscale_build", master=f"local[{large_n}]",
-                          shuffle_partitions=large_n)
-        corpus = spark.read.parquet(CORPUS)
-        t0 = time.time()
-        build_index(spark, corpus, idx_path, doc_id_col="doc_id",
-                    tokenizer="ws", docs_per_block=max(1024, n_docs // 128),
-                    term_partitions=large_n)
-        print(f"built {n_docs} docs in {time.time()-t0:.1f}s", file=sys.stderr)
-        spark.stop()
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        code = (
+            "import sys, time\n"
+            "sys.path.insert(0, %r)\n"
+            "from searcharray_spark import build_index\n"
+            "from searcharray_spark.session import get_spark\n"
+            "spark = get_spark('qscale_build', master='local[%d]',"
+            " shuffle_partitions=%d)\n"
+            "corpus = spark.read.parquet(%r)\n"
+            "t0 = time.time()\n"
+            "build_index(spark, corpus, %r, doc_id_col='doc_id',"
+            " tokenizer='ws', docs_per_block=%d, term_partitions=%d)\n"
+            "print('built %d docs in %%.1fs' %% (time.time()-t0),"
+            " file=sys.stderr)\n"
+            "spark.stop()\n"
+            % (root, large_n, large_n, CORPUS, idx_path,
+               max(1024, n_docs // 128), large_n, n_docs))
+        subprocess.run([sys.executable, "-c", code], check=True,
+                       timeout=7200)
 
     # interleaved windows (see bench_scaling.py): neighbor CPU-steal
     # bursts on this VM last minutes; alternating levels and keeping the

@@ -39,22 +39,32 @@ CORPUS = "/tmp/sa_scaling_corpus"
 
 
 def ensure_corpus(n_docs: int):
-    from searcharray_spark.session import get_spark
-    from searcharray_spark.webcorpus import generate_corpus
-
     marker = os.path.join(CORPUS, "_meta.json")
     if os.path.exists(marker):
         with open(marker) as fh:
             if json.load(fh).get("n_docs") == n_docs:
                 return
+    # generate in a SUBPROCESS: SparkSession.stop() does not kill the
+    # py4j JVM, and a lingering unpinned local[32] 48g-heap JVM in the
+    # bench parent contaminates the timed windows that follow (measured
+    # ~23% of a core of GC/background noise)
+    code = (
+        "import json, sys, time\n"
+        "sys.path.insert(0, %r)\n"
+        "from searcharray_spark.session import get_spark\n"
+        "from searcharray_spark.webcorpus import generate_corpus\n"
+        "spark = get_spark('gen_corpus', master='local[32]',"
+        " shuffle_partitions=32)\n"
+        "t0 = time.time()\n"
+        "generate_corpus(spark, %d).write.mode('overwrite').parquet(%r)\n"
+        "print('generated %d docs in %%.1fs' %% (time.time()-t0),"
+        " file=sys.stderr)\n"
+        "spark.stop()\n"
+        "json.dump({'n_docs': %d}, open(%r, 'w'))\n"
+        % (os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+           n_docs, CORPUS, n_docs, n_docs, marker))
     shutil.rmtree(CORPUS, ignore_errors=True)
-    spark = get_spark("gen_corpus", master="local[32]", shuffle_partitions=32)
-    t0 = time.time()
-    generate_corpus(spark, n_docs).write.mode("overwrite").parquet(CORPUS)
-    print(f"generated {n_docs} docs in {time.time()-t0:.1f}s", file=sys.stderr)
-    spark.stop()
-    with open(marker, "w") as fh:
-        json.dump({"n_docs": n_docs}, fh)
+    subprocess.run([sys.executable, "-c", code], check=True, timeout=3600)
 
 
 def run_queries(idx, repeat: int) -> dict:

@@ -16,10 +16,12 @@ REAL decoders (stdlib + numpy only — no codec libraries needed):
     (a pooled 16-dim embedding stand-in); block-mean resize.
   - "Video" frame sampling for concatenated-PPM streams (a simple
     uncompressed container): every-n-th frame decoded + fingerprinted.
+  - Baseline JPEG (jpeg.py): from-scratch ITU T.81 baseline sequential
+    codec — Huffman + DCT in numpy, 4:4:4/4:2:0, restart markers.
 
-Formats needing real codec libs (JPEG, MP4, ...) raise
-``UnsupportedMediaError`` per blob and land in the ``error`` column —
-the pipeline keeps flowing (bad blobs are data, not crashes).
+Formats still needing real codec libs (progressive JPEG, MP4, ...)
+raise ``UnsupportedMediaError`` per blob and land in the ``error``
+column — the pipeline keeps flowing (bad blobs are data, not crashes).
 """
 from __future__ import annotations
 
@@ -236,7 +238,10 @@ def decode_image(data: bytes) -> Tuple[np.ndarray, str]:
         return decode_ppm(data), "ppm"
     if data[:2] == b"BM":
         return decode_bmp(data), "bmp"
-    raise UnsupportedMediaError("unknown image format (JPEG needs libjpeg)")
+    if data[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg  # baseline JFIF, pure numpy
+        return decode_jpeg(data), "jpeg"
+    raise UnsupportedMediaError("unknown image format")
 
 
 def _luma(img: np.ndarray) -> np.ndarray:

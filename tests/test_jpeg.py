@@ -1,0 +1,217 @@
+"""Tests for the from-scratch baseline JPEG codec (jpeg.py).
+
+Encoder and decoder are independent implementations of the published
+spec (ITU T.81) wired together only through the byte format, so
+round-trip equality within quantization-error bounds is meaningful
+evidence for both sides. DC-only (solid color) images additionally have
+an EXACT closed-form expectation: every AC coefficient is zero and the
+DC path (level shift, DCT gain 8, quantization, IDCT) is integer-exact
+to within +-1 of the input value.
+"""
+import struct
+
+import numpy as np
+import pytest
+
+from searcharray_spark import multimodal as M
+from searcharray_spark.jpeg import (
+    UnsupportedMediaError, ZIGZAG, _build_codes, _HuffDecoder, _BitReader,
+    DC_LUMA_SPEC, AC_LUMA_SPEC, DC_CHROMA_SPEC, AC_CHROMA_SPEC,
+    decode_jpeg, encode_jpeg,
+)
+
+RNG = np.random.default_rng(0x5EED)
+
+
+# --- structural invariants -------------------------------------------------
+
+def test_zigzag_is_a_permutation():
+    assert sorted(ZIGZAG.tolist()) == list(range(64))
+    # spot-check the well-known start of the sequence
+    assert ZIGZAG[:8].tolist() == [0, 1, 8, 16, 9, 2, 3, 10]
+
+
+@pytest.mark.parametrize("spec", [DC_LUMA_SPEC, AC_LUMA_SPEC,
+                                  DC_CHROMA_SPEC, AC_CHROMA_SPEC])
+def test_annex_k_tables_are_valid_prefix_codes(spec):
+    codes = _build_codes(*spec)
+    assert len(codes) == len(spec[1])
+    # prefix-freeness: no code is a prefix of a longer one
+    as_bits = {format(c, f"0{l}b") for c, l in codes.values()}
+    assert len(as_bits) == len(codes)
+    for a in as_bits:
+        for b in as_bits:
+            if a is not b and len(a) < len(b):
+                assert not b.startswith(a)
+
+
+def test_huffman_encode_decode_inverse():
+    bits, values = AC_LUMA_SPEC
+    codes = _build_codes(bits, values)
+    dec = _HuffDecoder(bits, values)
+    # encode every symbol, decode the concatenated stream back
+    stream = []
+    order = list(values)
+    RNG.shuffle(order)
+    acc, nbits = 0, 0
+    for sym in order:
+        c, l = codes[sym]
+        acc = (acc << l) | c
+        nbits += l
+    acc <<= (-nbits) % 8
+    raw = acc.to_bytes((nbits + 7) // 8, "big")
+    br = _BitReader(raw)
+    got = [dec.decode(br) for _ in order]
+    assert got == order
+
+
+# --- exact DC-only goldens -------------------------------------------------
+
+@pytest.mark.parametrize("color", [(0, 0, 0), (255, 255, 255),
+                                   (120, 64, 200), (17, 202, 3)])
+def test_solid_color_roundtrip_exact_within_1(color):
+    img = np.full((16, 24, 3), color, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=95))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+
+
+def test_solid_gray_roundtrip():
+    img = np.full((8, 8), 99, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=95))
+    assert out.shape == (8, 8, 1)
+    assert np.abs(out.astype(int)[:, :, 0] - 99).max() <= 1
+
+
+# --- round-trip error bounds ----------------------------------------------
+
+def test_gradient_roundtrip_tight():
+    x = np.linspace(0, 255, 40)
+    y = np.linspace(0, 255, 32)
+    img = np.stack(np.meshgrid(x, y) + [np.full((32, 40), 77.0)],
+                   axis=-1).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=95))
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 6
+
+
+def test_noise_roundtrip_bounded():
+    img = RNG.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=95))
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.mean() < 8  # random noise is JPEG's worst case
+    img_gray = RNG.integers(0, 256, (17, 19), dtype=np.uint8)
+    outg = decode_jpeg(encode_jpeg(img_gray, quality=95))
+    assert np.abs(outg[:, :, 0].astype(int)
+                  - img_gray.astype(int)).mean() < 4
+
+
+def test_subsampled_420_roundtrip():
+    x = np.linspace(0, 255, 48)
+    img = np.stack(np.meshgrid(x, np.linspace(255, 0, 40))
+                   + [np.full((40, 48), 128.0)], axis=-1).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=92, subsample=True))
+    assert out.shape == img.shape
+    # chroma is quarter-res; luma still tight
+    luma = lambda a: (0.299 * a[..., 0] + 0.587 * a[..., 1]
+                      + 0.114 * a[..., 2])
+    assert np.abs(luma(out.astype(float))
+                  - luma(img.astype(float))).max() <= 8
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 24
+
+
+@pytest.mark.parametrize("shape", [(13, 11, 3), (1, 1, 3), (8, 8, 3),
+                                   (9, 17, 3), (33, 31, 3)])
+@pytest.mark.parametrize("subsample", [False, True])
+def test_odd_shapes(shape, subsample):
+    img = RNG.integers(0, 256, shape, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=90, subsample=subsample))
+    assert out.shape == shape
+
+
+def test_quality_monotonic():
+    img = RNG.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    errs, sizes = [], []
+    for q in (30, 60, 95):
+        data = encode_jpeg(img, quality=q)
+        sizes.append(len(data))
+        errs.append(np.abs(decode_jpeg(data).astype(int)
+                           - img.astype(int)).mean())
+    assert errs[0] > errs[2]  # lower quality -> larger error
+    assert sizes[0] < sizes[2]  # ... and smaller files
+
+
+# --- format / error paths --------------------------------------------------
+
+def test_marker_stream_wellformed():
+    data = encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8))
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    # JFIF APP0 first, then DQT before SOF0 before DHT before SOS
+    order = []
+    pos = 2
+    while pos < len(data) - 2:
+        assert data[pos] == 0xFF
+        m = data[pos + 1]
+        order.append(m)
+        if m == 0xDA:
+            break
+        seglen = struct.unpack_from(">H", data, pos + 2)[0]
+        pos += 2 + seglen
+    assert order[0] == 0xE0
+    assert order.index(0xDB) < order.index(0xC0) < order.index(0xC4) \
+        < order.index(0xDA)
+
+
+def test_progressive_rejected():
+    data = bytearray(encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8)))
+    # flip SOF0 -> SOF2 (progressive)
+    i = data.find(b"\xff\xc0")
+    data[i + 1] = 0xC2
+    with pytest.raises(UnsupportedMediaError, match="non-baseline"):
+        decode_jpeg(bytes(data))
+
+
+def test_truncated_rejected():
+    data = encode_jpeg(RNG.integers(0, 256, (16, 16, 3), dtype=np.uint8))
+    with pytest.raises((UnsupportedMediaError, ValueError)):
+        decode_jpeg(data[:len(data) // 2])
+    with pytest.raises(UnsupportedMediaError):
+        decode_jpeg(b"\x00\x01not a jpeg")
+
+
+def test_byte_stuffing_exercised():
+    # white image at high quality reliably produces 0xFF entropy bytes
+    # somewhere across these; decode proving unstuffing works
+    for seed in range(3):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(200, 256, (40, 40, 3), dtype=np.uint8)
+        data = encode_jpeg(img, quality=97)
+        out = decode_jpeg(data)
+        assert out.shape == img.shape
+
+
+# --- pipeline integration --------------------------------------------------
+
+def test_decode_image_dispatch():
+    img = np.full((10, 12, 3), (3, 199, 77), dtype=np.uint8)
+    out, fmt = M.decode_image(encode_jpeg(img, quality=95))
+    assert fmt == "jpeg"
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+
+
+def test_image_features_over_jpeg(spark):
+    rows = []
+    for i in range(6):
+        img = np.full((16, 16, 3), (i * 40, 255 - i * 40, 128),
+                      dtype=np.uint8)
+        rows.append((i, "image",
+                     bytearray(encode_jpeg(img, subsample=bool(i % 2))),
+                     "image/jpeg"))
+    rows.append((99, "image", bytearray(b"\xff\xd8 broken"), "image/jpeg"))
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in M.image_features(df).collect()}
+    for i in range(6):
+        assert got[i]["format"] == "jpeg"
+        assert got[i]["error"] is None
+        assert got[i]["width"] == 16 and got[i]["height"] == 16
+        assert len(got[i]["features"]) > 0
+    assert got[99]["error"] is not None  # bad blob -> error column, no crash
