@@ -1,9 +1,11 @@
-"""Baseline JPEG (JFIF) codec — pure numpy + stdlib, no codec libraries.
+"""JPEG (JFIF) codec — pure numpy + stdlib, no codec libraries.
 
-Implements the baseline sequential DCT process of the public JPEG
-standard (ITU-T T.81 / ISO 10918-1): 8x8 block DCT, zigzag + run-length
-entropy coding with canonical Huffman tables, YCbCr (BT.601 full-range,
-JFIF) color, 4:4:4 and 4:2:0 chroma sampling, restart markers.
+Implements the baseline sequential AND progressive DCT processes of the
+public JPEG standard (ITU-T T.81 / ISO 10918-1): 8x8 block DCT, zigzag
++ run-length entropy coding with canonical Huffman tables, YCbCr
+(BT.601 full-range, JFIF) color, 4:4:4 and 4:2:0 chroma sampling,
+restart markers, and for progressive (SOF2) both spectral selection and
+successive approximation (DC/AC first + refinement scans, EOB runs).
 
 Why it exists: real web corpora are mostly JPEG, and this container has
 no usable codec library (libjpeg is present only as a runtime .so whose
@@ -13,8 +15,8 @@ column. This module closes that gap with a from-scratch implementation
 of the published standard.
 
 Scope and honesty notes:
-  - Baseline sequential only. Progressive (SOF2), arithmetic coding,
-    12-bit, and hierarchical modes raise ``UnsupportedMediaError`` —
+  - Huffman sequential + progressive, 8-bit. Arithmetic coding, 12-bit,
+    hierarchical, and lossless modes raise ``UnsupportedMediaError`` —
     they land in the pipeline's ``error`` column like any bad blob.
   - The entropy decode loop is per-coefficient Python (the format is
     inherently bit-serial); DCT/IDCT, dequantization, upsampling and
@@ -23,13 +25,18 @@ Scope and honesty notes:
     test corpora; a cluster deployment with real codec libs installed
     would swap ``decode_jpeg`` for a library call behind the same
     signature (the Spark-side plumbing in multimodal.py is unchanged).
-  - The encoder exists so the pipeline can be tested end-to-end in this
-    container (nothing else here can produce a JPEG) and uses the
-    standard's Annex K example quantization/Huffman tables, scaled by
-    the common quality formula. Encoder and decoder are independent
-    implementations of the published spec wired together only through
-    the byte format, and the test suite checks DC-only images exactly
-    and random images within quantization-error bounds.
+  - The encoders exist so the pipeline can be tested end-to-end in this
+    container (nothing else here can produce a JPEG). The baseline
+    encoder uses the standard's Annex K example quantization/Huffman
+    tables, scaled by the common quality formula; the progressive
+    encoder builds optimized Huffman tables per scan (two passes, as
+    real progressive encoders must — Annex K has no EOBn symbols).
+    Encoders and decoder are independent implementations of the
+    published spec wired together only through the byte format; the
+    test suite checks DC-only images exactly, random images within
+    quantization-error bounds, and that progressive and baseline
+    encodings of the same image decode bit-identically (the entropy
+    layers are lossless over the same quantized coefficients).
 """
 from __future__ import annotations
 
@@ -256,18 +263,42 @@ def _category(v: int) -> int:
 
 class _Component:
     __slots__ = ("cid", "h", "v", "tq", "td", "ta", "blocks",
-                 "blocks_w", "blocks_h", "pred")
+                 "blocks_w", "blocks_h", "nx", "ny", "pred")
 
     def __init__(self, cid, h, v, tq):
         self.cid, self.h, self.v, self.tq = cid, h, v, tq
         self.td = self.ta = 0
         self.blocks = None
         self.blocks_w = self.blocks_h = 0
+        self.nx = self.ny = 0  # true (unpadded) block-grid dims
         self.pred = 0
 
 
+def _alloc_blocks(comps: List["_Component"], width: int,
+                  height: int) -> Tuple[int, int]:
+    """Allocate each component's coefficient grid ONCE (zigzag order,
+    one row per 8x8 block, padded to whole MCUs) — scans, sequential or
+    progressive, accumulate into it. Returns (mcus_x, mcus_y)."""
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    for c in comps:
+        c.blocks_w = mcus_x * c.h
+        c.blocks_h = mcus_y * c.v
+        # non-interleaved scans cover only the true block grid
+        comp_w = -(-(width * c.h) // hmax)
+        comp_h = -(-(height * c.v) // vmax)
+        c.nx = -(-comp_w // 8)
+        c.ny = -(-comp_h // 8)
+        c.blocks = np.zeros((c.blocks_h * c.blocks_w, 64), dtype=np.int64)
+        c.pred = 0
+    return mcus_x, mcus_y
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JFIF bytes -> (h, w, c) uint8, c in {1, 3}."""
+    """Sequential or progressive JFIF bytes -> (h, w, c) uint8,
+    c in {1, 3}."""
     if data[:2] != b"\xff\xd8":
         raise UnsupportedMediaError("not a JPEG (no SOI)")
     pos = 2
@@ -277,6 +308,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     comps: List[_Component] = []
     width = height = None
     restart_interval = 0
+    progressive = False
+    mcus = (0, 0)
 
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -319,23 +352,26 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 sp += 17 + nv
                 dec = _HuffDecoder(bits, vals)
                 (huff_ac if tc else huff_dc)[th] = dec
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog
             prec = seg[0]
             if prec != 8:
                 raise UnsupportedMediaError(f"{prec}-bit JPEG unsupported")
+            progressive = marker == 0xC2
             height, width = struct.unpack_from(">HH", seg, 1)
             nc = seg[5]
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
                 comps.append(_Component(cid, hv >> 4, hv & 0x0F, tq))
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise UnsupportedMediaError(
-                f"non-baseline JPEG (SOF{marker - 0xC0}) unsupported")
+                f"JPEG SOF{marker - 0xC0} process unsupported")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
         elif marker == 0xDA:  # SOS — entropy data follows
+            if width is None or not comps:
+                raise UnsupportedMediaError("SOS before SOF")
             ns = seg[0]
             order = []
             for i in range(ns):
@@ -343,9 +379,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 comp = next(c for c in comps if c.cid == cs)
                 comp.td, comp.ta = tdta >> 4, tdta & 0x0F
                 order.append(comp)
-            ent_start = pos
-            pos = _decode_scan(data, ent_start, order, comps, width, height,
-                               quant, huff_dc, huff_ac, restart_interval)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            if comps[0].blocks is None:
+                mcus = _alloc_blocks(comps, width, height)
+            pos = _decode_scan(data, pos, order, mcus[0], mcus[1],
+                               huff_dc, huff_ac, restart_interval,
+                               progressive, ss, se, ahal >> 4, ahal & 0x0F)
         # APPn/COM and anything else: skipped
 
     if width is None or not comps or comps[0].blocks is None:
@@ -353,22 +393,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     return _assemble(comps, width, height, quant)
 
 
-def _decode_scan(data, pos, order, comps, width, height, quant,
-                 huff_dc, huff_ac, restart_interval) -> int:
-    """Entropy-decode one (interleaved) scan; returns position after it."""
-    hmax = max(c.h for c in comps)
-    vmax = max(c.v for c in comps)
-    mcus_x = -(-width // (8 * hmax))
-    mcus_y = -(-height // (8 * vmax))
-    for c in comps:
-        c.blocks_w = mcus_x * c.h
-        c.blocks_h = mcus_y * c.v
-        c.blocks = np.zeros((c.blocks_h * c.blocks_w, 64), dtype=np.int64)
-        c.pred = 0
-
-    # unstuff entropy bytes up to the next marker; record RST positions
+def _unstuff(data: bytes, pos: int) -> Tuple[bytes, List[int], int]:
+    """Unstuff entropy bytes up to the next real marker. Returns
+    (raw bytes, unstuffed offsets of RST markers, position after)."""
     raw = bytearray()
-    rst_byte_pos = []  # unstuffed offset where each RST occurred
+    rst_byte_pos: List[int] = []
     p = pos
     n = len(data)
     while p < n:
@@ -386,49 +415,188 @@ def _decode_scan(data, pos, order, comps, width, height, quant,
             p += 2
         else:
             break  # real marker ends the scan
-    br = _BitReader(bytes(raw))
-    rst_iter = iter(rst_byte_pos)
+    return bytes(raw), rst_byte_pos, p
 
-    n_mcus = mcus_x * mcus_y
-    for mcu in range(n_mcus):
-        if restart_interval and mcu and mcu % restart_interval == 0:
+
+def _decode_scan(data, pos, order, mcus_x, mcus_y, huff_dc, huff_ac,
+                 restart_interval, progressive, ss, se, ah, al) -> int:
+    """Entropy-decode one scan (sequential or progressive, interleaved
+    iff it has >1 component); returns position after it.
+
+    Progressive scan structure (T.81 G.1/G.2): a DC scan has Ss=Se=0
+    and may be interleaved; an AC scan covers one spectral band
+    [Ss, Se] of ONE component. Ah=0 scans deliver coefficient values at
+    point-transform Al; Ah>0 scans refine one magnitude bit (Al) per
+    coefficient. EOB runs (EOBn symbols) span all-zero bands across
+    blocks and reset at restart markers.
+    """
+    if progressive:
+        if ss == 0 and se != 0:
+            raise UnsupportedMediaError("progressive DC scan with Se != 0")
+        if ss > 0 and len(order) != 1:
+            raise UnsupportedMediaError("progressive AC scan must cover "
+                                        "exactly one component")
+    if ss > se or se > 63:
+        raise UnsupportedMediaError("bad spectral selection")
+    raw, rst_byte_pos, end = _unstuff(data, pos)
+    br = _BitReader(raw)
+    rst_iter = iter(rst_byte_pos)
+    for c in order:
+        c.pred = 0
+    state = {"eobrun": 0}
+
+    interleaved = len(order) > 1
+    if interleaved:
+        n_units = mcus_x * mcus_y
+    else:
+        c0 = order[0]
+        n_units = c0.nx * c0.ny
+    for u in range(n_units):
+        if restart_interval and u and u % restart_interval == 0:
             br.align()
             nxt = next(rst_iter, None)
             if nxt is not None and br.pos != nxt:
                 # tolerate padding 1-bits before the marker
                 br.pos = nxt
-            for c in comps:
+            for c in order:
                 c.pred = 0
-        my, mx = divmod(mcu, mcus_x)
-        for c in order:
-            dc_dec = huff_dc.get(c.td)
-            ac_dec = huff_ac.get(c.ta)
-            if dc_dec is None or ac_dec is None:
-                raise UnsupportedMediaError("missing Huffman table")
-            for by in range(c.v):
-                for bx in range(c.h):
-                    blk_row = my * c.v + by
-                    blk_col = mx * c.h + bx
-                    coeffs = c.blocks[blk_row * c.blocks_w + blk_col]
-                    s = dc_dec.decode(br)
-                    diff = _extend(br.read_bits(s), s) if s else 0
-                    c.pred += diff
-                    coeffs[0] = c.pred
-                    k = 1
-                    while k < 64:
-                        rs = ac_dec.decode(br)
-                        r, size = rs >> 4, rs & 0x0F
-                        if size == 0:
-                            if r == 15:  # ZRL
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise UnsupportedMediaError("AC index overflow")
-                        coeffs[k] = _extend(br.read_bits(size), size)
-                        k += 1
-    return p
+            state["eobrun"] = 0
+        if interleaved:
+            my, mx = divmod(u, mcus_x)
+            targets = [(c, (my * c.v + by) * c.blocks_w + (mx * c.h + bx))
+                       for c in order
+                       for by in range(c.v) for bx in range(c.h)]
+        else:
+            c0 = order[0]
+            uy, ux = divmod(u, c0.nx)
+            targets = [(c0, uy * c0.blocks_w + ux)]
+        for c, bi in targets:
+            coeffs = c.blocks[bi]
+            if not progressive:
+                _block_sequential(br, c, coeffs, huff_dc, huff_ac)
+            elif ss == 0 and ah == 0:
+                _block_dc_first(br, c, coeffs, huff_dc, al)
+            elif ss == 0:
+                coeffs[0] = int(coeffs[0]) | (br.read_bit() << al)
+            elif ah == 0:
+                _block_ac_first(br, c, coeffs, huff_ac, ss, se, al, state)
+            else:
+                _block_ac_refine(br, c, coeffs, huff_ac, ss, se, al, state)
+    return end
+
+
+def _block_sequential(br, c, coeffs, huff_dc, huff_ac) -> None:
+    dc_dec = huff_dc.get(c.td)
+    ac_dec = huff_ac.get(c.ta)
+    if dc_dec is None or ac_dec is None:
+        raise UnsupportedMediaError("missing Huffman table")
+    s = dc_dec.decode(br)
+    diff = _extend(br.read_bits(s), s) if s else 0
+    c.pred += diff
+    coeffs[0] = c.pred
+    k = 1
+    while k < 64:
+        rs = ac_dec.decode(br)
+        r, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise UnsupportedMediaError("AC index overflow")
+        coeffs[k] = _extend(br.read_bits(size), size)
+        k += 1
+
+
+def _block_dc_first(br, c, coeffs, huff_dc, al) -> None:
+    dec = huff_dc.get(c.td)
+    if dec is None:
+        raise UnsupportedMediaError("missing Huffman table")
+    s = dec.decode(br)
+    diff = _extend(br.read_bits(s), s) if s else 0
+    c.pred += diff
+    coeffs[0] = c.pred << al  # python shift of a negative is arithmetic
+
+
+def _block_ac_first(br, c, coeffs, huff_ac, ss, se, al, state) -> None:
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    dec = huff_ac.get(c.ta)
+    if dec is None:
+        raise UnsupportedMediaError("missing Huffman table")
+    k = ss
+    while k <= se:
+        rs = dec.decode(br)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r != 15:  # EOBn: run of (1 << r) + extra all-zero bands,
+                eb = (1 << r) - 1  # current band included
+                if r:
+                    eb += br.read_bits(r)
+                state["eobrun"] = eb
+                return
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise UnsupportedMediaError("AC index past band end")
+        coeffs[k] = _extend(br.read_bits(s), s) << al
+        k += 1
+
+
+def _block_ac_refine(br, c, coeffs, huff_ac, ss, se, al, state) -> None:
+    p1 = 1 << al
+
+    def correct(k):
+        # append one magnitude bit to an already-nonzero coefficient
+        if br.read_bit():
+            v = int(coeffs[k])
+            if v > 0:
+                if not v & p1:
+                    coeffs[k] = v + p1
+            elif not (-v) & p1:
+                coeffs[k] = v - p1
+
+    k = ss
+    if state["eobrun"] == 0:
+        dec = huff_ac.get(c.ta)
+        if dec is None:
+            raise UnsupportedMediaError("missing Huffman table")
+        while k <= se:
+            rs = dec.decode(br)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r != 15:
+                    state["eobrun"] = (1 << r) + (br.read_bits(r) if r else 0)
+                    break
+                newval = 0  # ZRL: skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise UnsupportedMediaError("bad AC refinement symbol")
+                newval = p1 if br.read_bit() else -p1
+            # advance over r zero-history positions, emitting correction
+            # bits at every nonzero-history position passed
+            while k <= se:
+                if coeffs[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                coeffs[k] = newval
+            k += 1
+    if state["eobrun"] > 0:
+        # EOB band: only correction bits for nonzero-history positions
+        while k <= se:
+            if coeffs[k] != 0:
+                correct(k)
+            k += 1
+        state["eobrun"] -= 1
 
 
 def _assemble(comps: List[_Component], width: int, height: int,
@@ -569,12 +737,14 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 85,
-                subsample: bool = False) -> bytes:
-    """(h, w, 3) or (h, w) / (h, w, 1) uint8 -> baseline JFIF bytes.
+def _quantized_components(img: np.ndarray, quality: int, subsample: bool):
+    """Color-convert, subsample, DCT and quantize an image.
 
-    ``subsample=True`` uses 4:2:0 chroma (2x2 luma sampling); grayscale
-    input emits a single-component scan.
+    Returns ``(gray, h, w, ql, qc, mcus_x, mcus_y, comps)`` where each
+    comp dict holds ``blocks`` ((n, 64) zigzag-order quantized ints over
+    an MCU-padded grid), ``bw`` (grid blocks per row), ``nx``/``ny``
+    (true unpadded block-grid dims, the traversal of non-interleaved
+    scans), and sampling factors ``h``/``v`` + quant id ``tq``.
     """
     img = np.asarray(img)
     gray = img.ndim == 2 or img.shape[2] == 1
@@ -583,23 +753,66 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
         raise ValueError(f"bad image shape {img.shape}")
     ql = _scale_quant(QUANT_LUMA, quality)
     qc = _scale_quant(QUANT_CHROMA, quality)
+    if gray:
+        y = img.reshape(h, w).astype(np.float64)
+        mcus_x, mcus_y = -(-w // 8), -(-h // 8)
+        comps = [{"blocks": _plane_blocks(y, ql), "bw": mcus_x,
+                  "nx": mcus_x, "ny": mcus_y, "h": 1, "v": 1, "tq": 0}]
+        return gray, h, w, ql, qc, mcus_x, mcus_y, comps
+    hs, vs = (2, 2) if subsample else (1, 1)
+    y, cb, cr = _rgb_to_ycbcr(img)
+    mcus_x = -(-w // (8 * hs))
+    mcus_y = -(-h // (8 * vs))
+    if hs == 2:
+        # pad to even dims, then 2x2 box-average the chroma planes
+        ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
+        if ph != h or pw != w:
+            cb = np.pad(cb, ((0, ph - h), (0, pw - w)), mode="edge")
+            cr = np.pad(cr, ((0, ph - h), (0, pw - w)), mode="edge")
+        cb = cb.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        cr = cr.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        # pad luma so its block grid is an exact MCU multiple
+        if mcus_y * 16 != h or mcus_x * 16 != w:
+            y = np.pad(y, ((0, mcus_y * 16 - h), (0, mcus_x * 16 - w)),
+                       mode="edge")
+        yw = mcus_x * 2
+    else:
+        yw = mcus_x
+    comps = [
+        {"blocks": _plane_blocks(y, ql), "bw": yw,
+         "nx": -(-w // 8), "ny": -(-h // 8), "h": hs, "v": vs, "tq": 0},
+        {"blocks": _plane_blocks(cb, qc), "bw": mcus_x,
+         "nx": mcus_x, "ny": mcus_y, "h": 1, "v": 1, "tq": 1},
+        {"blocks": _plane_blocks(cr, qc), "bw": mcus_x,
+         "nx": mcus_x, "ny": mcus_y, "h": 1, "v": 1, "tq": 1},
+    ]
+    return gray, h, w, ql, qc, mcus_x, mcus_y, comps
 
-    out = bytearray(b"\xff\xd8")  # SOI
+
+def _preamble(gray, h, w, ql, qc, comps, sof_marker) -> bytearray:
+    """SOI + JFIF APP0 + DQT (zigzag on the wire) + SOF."""
+    out = bytearray(b"\xff\xd8")
     out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    # DQT (zigzag order on the wire)
     out += _seg(0xDB, bytes([0x00]) + bytes(ql[ZIGZAG].astype(np.uint8)))
     if not gray:
         out += _seg(0xDB, bytes([0x01]) + bytes(qc[ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for i, cd in enumerate(comps):
+        sof += bytes([i + 1, (cd["h"] << 4) | cd["v"], cd["tq"]])
+    out += _seg(sof_marker, sof)
+    return out
 
-    hs, vs = (2, 2) if (subsample and not gray) else (1, 1)
-    if gray:
-        sof_comps = [(1, 1, 1, 0)]
-    else:
-        sof_comps = [(1, hs, vs, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
-    sof = struct.pack(">BHHB", 8, h, w, len(sof_comps))
-    for cid, ch, cv, tq in sof_comps:
-        sof += bytes([cid, (ch << 4) | cv, tq])
-    out += _seg(0xC0, sof)
+
+def encode_jpeg(img: np.ndarray, quality: int = 85,
+                subsample: bool = False) -> bytes:
+    """(h, w, 3) or (h, w) / (h, w, 1) uint8 -> baseline JFIF bytes.
+
+    ``subsample=True`` uses 4:2:0 chroma (2x2 luma sampling); grayscale
+    input emits a single-component scan.
+    """
+    gray, h, w, ql, qc, mcus_x, mcus_y, comps = \
+        _quantized_components(img, quality, subsample)
+    out = _preamble(gray, h, w, ql, qc, comps, 0xC0)
 
     # DHT segments (Annex K tables)
     specs = [(0x00, DC_LUMA_SPEC), (0x10, AC_LUMA_SPEC)]
@@ -608,63 +821,302 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
     for tcth, (bits, vals) in specs:
         out += _seg(0xC4, bytes([tcth]) + bytes(bits) + bytes(vals))
 
-    dc_l = _build_codes(*DC_LUMA_SPEC)
-    ac_l = _build_codes(*AC_LUMA_SPEC)
-    dc_c = _build_codes(*DC_CHROMA_SPEC)
-    ac_c = _build_codes(*AC_CHROMA_SPEC)
+    dc_tabs = [_build_codes(*DC_LUMA_SPEC), _build_codes(*DC_CHROMA_SPEC)]
+    ac_tabs = [_build_codes(*AC_LUMA_SPEC), _build_codes(*AC_CHROMA_SPEC)]
 
-    # SOS
-    if gray:
-        sos = bytes([1, 1, 0x00, 0, 63, 0])
-    else:
-        sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
-    out += _seg(0xDA, sos)
+    # SOS (single interleaved sequential scan)
+    sos = bytearray([len(comps)])
+    for i in range(len(comps)):
+        tid = 0 if i == 0 else 1
+        sos += bytes([i + 1, (tid << 4) | tid])
+    sos += bytes([0, 63, 0])
+    out += _seg(0xDA, bytes(sos))
 
     bw = _BitWriter()
-    if gray:
-        y = img.reshape(h, w).astype(np.float64)
-        blocks = _plane_blocks(y, ql)
-        bw_cols = -(-w // 8)
-        pred = 0
-        for i in range(blocks.shape[0]):
-            pred = _encode_block(bw, blocks[i], pred, dc_l, ac_l)
-    else:
-        y, cb, cr = _rgb_to_ycbcr(img)
-        if hs == 2:
-            # pad to even dims, then 2x2 box-average the chroma planes
-            ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
-            if ph != h or pw != w:
-                cb = np.pad(cb, ((0, ph - h), (0, pw - w)), mode="edge")
-                cr = np.pad(cr, ((0, ph - h), (0, pw - w)), mode="edge")
-            cb = cb.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
-            cr = cr.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
-        yb = _plane_blocks(y, ql)
-        cbb = _plane_blocks(cb, qc)
-        crb = _plane_blocks(cr, qc)
-        # luma plane block grid must cover full MCUs: recompute padded dims
-        mcus_x = -(-w // (8 * hs))
-        mcus_y = -(-h // (8 * vs))
-        yw = -(-w // 8)
-        if hs == 2 and (yw % 2 or (-(-h // 8)) % 2):
-            # re-pad luma so the block grid is an exact MCU multiple
-            yp = np.pad(y, ((0, mcus_y * 16 - h), (0, mcus_x * 16 - w)),
-                        mode="edge")
-            yb = _plane_blocks(yp, ql)
-            yw = mcus_x * 2
-        preds = [0, 0, 0]
-        cw = mcus_x  # chroma blocks per row (chroma h=v=1)
-        for mcu in range(mcus_x * mcus_y):
-            my, mx = divmod(mcu, mcus_x)
-            for by in range(vs):
-                for bx in range(hs):
-                    idx = (my * vs + by) * yw + (mx * hs + bx)
-                    preds[0] = _encode_block(bw, yb[idx], preds[0],
-                                             dc_l, ac_l)
-            preds[1] = _encode_block(bw, cbb[my * cw + mx], preds[1],
-                                     dc_c, ac_c)
-            preds[2] = _encode_block(bw, crb[my * cw + mx], preds[2],
-                                     dc_c, ac_c)
+    preds = [0] * len(comps)
+    for mcu in range(mcus_x * mcus_y):
+        my, mx = divmod(mcu, mcus_x)
+        for i, cd in enumerate(comps):
+            tid = 0 if i == 0 else 1
+            for by in range(cd["v"]):
+                for bx in range(cd["h"]):
+                    idx = (my * cd["v"] + by) * cd["bw"] + (mx * cd["h"] + bx)
+                    preds[i] = _encode_block(bw, cd["blocks"][idx], preds[i],
+                                             dc_tabs[tid], ac_tabs[tid])
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder (two-pass: optimized Huffman tables per scan)
+# ---------------------------------------------------------------------------
+
+# libjpeg-style default scan scripts: DC first at Al=1, luma AC split
+# into a coarse low-frequency band then the rest, successive refinement
+# passes down to Al=0. Each entry: (component indices, Ss, Se, Ah, Al).
+_PROGRESSIVE_SCANS_COLOR = [
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((1,), 1, 63, 0, 1),
+    ((2,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((1,), 1, 63, 1, 0),
+    ((2,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0),
+]
+_PROGRESSIVE_SCANS_GRAY = [
+    ((0,), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0,), 0, 0, 1, 0),
+    ((0,), 1, 63, 1, 0),
+]
+
+
+def _huffman_spec(counts: Dict[int, int]) -> Tuple[List[int], List[int]]:
+    """Optimal length-limited canonical Huffman spec from symbol counts.
+
+    Classic Huffman over the real symbols plus a freq-1 dummy (T.81
+    Annex K.2 uses the same trick to keep the all-1-bits code unused),
+    then the Annex K.3 BITS adjustment caps code lengths at 16, the
+    dummy's slot is dropped from the longest length, and the most
+    frequent symbol gets the shortest code. Returns (bits[16], values).
+    """
+    import heapq
+    from itertools import count as _count
+    tick = _count()
+    heap = [(int(c), next(tick), (s,)) for s, c in sorted(counts.items())
+            if c > 0]
+    heap.append((1, next(tick), (256,)))  # dummy
+    heapq.heapify(heap)
+    depth = {lv[0]: 0 for _, _, lv in heap}
+    while len(heap) > 1:
+        f1, _, l1 = heapq.heappop(heap)
+        f2, _, l2 = heapq.heappop(heap)
+        merged = l1 + l2
+        for s in merged:
+            depth[s] += 1
+        heapq.heappush(heap, (f1 + f2, next(tick), merged))
+    bits = [0] * 33
+    for d in depth.values():
+        bits[max(d, 1)] += 1
+    i = 32
+    while i > 16:  # Annex K.3 Adjust_BITS: push overlong pairs up
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        i -= 1
+    i = 16
+    while bits[i] == 0:
+        i -= 1
+    bits[i] -= 1  # drop the dummy's longest slot: all-ones stays unused
+    order = sorted(((s, c) for s, c in counts.items() if c > 0),
+                   key=lambda kv: (-kv[1], kv[0]))
+    lengths = [ln for ln in range(1, 17) for _ in range(bits[ln])]
+    if len(lengths) != len(order):
+        raise AssertionError("huffman spec accounting error")
+    out_bits = [0] * 16
+    for ln in lengths:
+        out_bits[ln - 1] += 1
+    return out_bits, [s for s, _ in order]
+
+
+def _dc_scan_events(comps, cidx, ah, al, mcus_x, mcus_y, evs) -> None:
+    order = [(i, comps[i]) for i in cidx]
+    interleaved = len(order) > 1
+    preds = {i: 0 for i in cidx}
+    if interleaved:
+        n_units = mcus_x * mcus_y
+    else:
+        n_units = order[0][1]["nx"] * order[0][1]["ny"]
+    for u in range(n_units):
+        if interleaved:
+            my, mx = divmod(u, mcus_x)
+            targets = [(i, cd, (my * cd["v"] + by) * cd["bw"]
+                        + (mx * cd["h"] + bx))
+                       for i, cd in order
+                       for by in range(cd["v"]) for bx in range(cd["h"])]
+        else:
+            i0, c0 = order[0]
+            uy, ux = divmod(u, c0["nx"])
+            targets = [(i0, c0, uy * c0["bw"] + ux)]
+        for i, cd, bi in targets:
+            v = int(cd["blocks"][bi][0])
+            if ah == 0:
+                vt = v >> al  # arithmetic shift, matching the decoder
+                diff = vt - preds[i]
+                preds[i] = vt
+                s = _category(diff)
+                evs.append(("h", 0 if i == 0 else 1, s))
+                if s:
+                    evs.append(("b", diff if diff >= 0 else
+                                diff + (1 << s) - 1, s))
+            else:
+                evs.append(("b", (v >> al) & 1, 1))
+
+
+def _ac_scan_events(comps, ci, ss, se, ah, al, evs) -> None:
+    cd = comps[ci]
+    tid = 0 if ci == 0 else 1
+    eobrun = 0
+    eob_bits: List[int] = []
+
+    def flush_eob():
+        nonlocal eobrun, eob_bits
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            evs.append(("h", tid, r << 4))
+            if r:
+                evs.append(("b", eobrun - (1 << r), r))
+            for b in eob_bits:
+                evs.append(("b", b, 1))
+            eobrun = 0
+            eob_bits = []
+
+    for uy in range(cd["ny"]):
+        for ux in range(cd["nx"]):
+            coeffs = cd["blocks"][uy * cd["bw"] + ux]
+            vals = [int(coeffs[k]) for k in range(ss, se + 1)]
+            if ah == 0:
+                # first pass: magnitudes at point transform Al
+                sh = [(v >> al) if v >= 0 else -((-v) >> al) for v in vals]
+                nz = [j for j, v in enumerate(sh) if v != 0]
+                if not nz:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                run = 0
+                for j in range(nz[-1] + 1):
+                    v = sh[j]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        evs.append(("h", tid, 0xF0))  # ZRL
+                        run -= 16
+                    s = _category(v)
+                    evs.append(("h", tid, (run << 4) | s))
+                    evs.append(("b", v if v >= 0 else v + (1 << s) - 1, s))
+                    run = 0
+                if nz[-1] < se - ss:
+                    eobrun = 1  # zero tail starts an EOB run
+                continue
+            # refinement pass: one magnitude bit per coefficient
+            t = [abs(v) >> al for v in vals]
+            if not any(x == 1 for x in t):
+                # no newly-significant coeff: whole band joins the EOB
+                # run, carrying its correction bits
+                eobrun += 1
+                eob_bits.extend(x & 1 for x in t if x > 1)
+                if eobrun == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            # pend: position-ordered zero-history markers + correction
+            # bits since the last emitted symbol (the decoder consumes
+            # them interleaved while advancing over the run)
+            pend: List[Tuple] = []
+            for j, x in enumerate(t):
+                if x > 1:
+                    pend.append(("c", x & 1))
+                elif x == 0:
+                    pend.append(("z",))
+                else:  # newly significant: emit run/ZRLs + sign + bits
+                    zcount = sum(1 for e in pend if e[0] == "z")
+                    while zcount > 15:
+                        evs.append(("h", tid, 0xF0))
+                        consumed = 0
+                        it = iter(pend)
+                        for e in it:
+                            if e[0] == "z":
+                                consumed += 1
+                                if consumed == 16:
+                                    break
+                            else:
+                                evs.append(("b", e[1], 1))
+                        pend = list(it)
+                        zcount -= 16
+                    evs.append(("h", tid, (zcount << 4) | 1))
+                    evs.append(("b", 1 if vals[j] > 0 else 0, 1))
+                    for e in pend:
+                        if e[0] == "c":
+                            evs.append(("b", e[1], 1))
+                    pend = []
+            if pend:
+                eobrun = 1
+                eob_bits = [e[1] for e in pend if e[0] == "c"]
+    flush_eob()
+
+
+def encode_jpeg_progressive(img: np.ndarray, quality: int = 85,
+                            subsample: bool = False,
+                            scans=None) -> bytes:
+    """(h, w, 3) or (h, w) / (h, w, 1) uint8 -> progressive (SOF2) JFIF
+    bytes, spectral selection + successive approximation.
+
+    ``scans`` overrides the default scan script with a list of
+    (component-indices, Ss, Se, Ah, Al) tuples; the default mirrors
+    libjpeg's. Huffman tables are optimized per scan (two passes) —
+    progressive needs EOBn symbols that the Annex K example tables
+    don't contain.
+    """
+    gray, h, w, ql, qc, mcus_x, mcus_y, comps = \
+        _quantized_components(img, quality, subsample)
+    if scans is None:
+        scans = _PROGRESSIVE_SCANS_GRAY if gray else _PROGRESSIVE_SCANS_COLOR
+    out = _preamble(gray, h, w, ql, qc, comps, 0xC2)
+    for cidx, ss, se, ah, al in scans:
+        evs: List[Tuple] = []
+        if ss == 0:
+            if se != 0:
+                raise ValueError("progressive DC scan must have Se == 0")
+            _dc_scan_events(comps, cidx, ah, al, mcus_x, mcus_y, evs)
+        else:
+            if len(cidx) != 1:
+                raise ValueError("progressive AC scan covers one component")
+            _ac_scan_events(comps, cidx[0], ss, se, ah, al, evs)
+        # pass 1: per-table symbol counts -> optimized DHT
+        counts: Dict[int, Dict[int, int]] = {}
+        for ev in evs:
+            if ev[0] == "h":
+                tbl = counts.setdefault(ev[1], {})
+                tbl[ev[2]] = tbl.get(ev[2], 0) + 1
+        tclass = 0 if ss == 0 else 1
+        codes: Dict[int, Dict[int, Tuple[int, int]]] = {}
+        for tid in sorted(counts):
+            bits, values = _huffman_spec(counts[tid])
+            out += _seg(0xC4, bytes([(tclass << 4) | tid]) + bytes(bits)
+                        + bytes(values))
+            codes[tid] = _build_codes(bits, values)
+        # SOS header
+        sos = bytearray([len(cidx)])
+        for i in cidx:
+            tid = 0 if i == 0 else 1
+            td, ta = (tid, 0) if ss == 0 else (0, tid)
+            sos += bytes([i + 1, (td << 4) | ta])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += _seg(0xDA, bytes(sos))
+        # pass 2: emit the bitstream
+        wtr = _BitWriter()
+        for ev in evs:
+            if ev[0] == "h":
+                code, ln = codes[ev[1]][ev[2]]
+                wtr.write(code, ln)
+            else:
+                wtr.write(ev[1], ev[2])
+        wtr.flush()
+        out += wtr.out
+    out += b"\xff\xd9"
     return bytes(out)

@@ -16,10 +16,11 @@ REAL decoders (stdlib + numpy only — no codec libraries needed):
     (a pooled 16-dim embedding stand-in); block-mean resize.
   - "Video" frame sampling for concatenated-PPM streams (a simple
     uncompressed container): every-n-th frame decoded + fingerprinted.
-  - Baseline JPEG (jpeg.py): from-scratch ITU T.81 baseline sequential
-    codec — Huffman + DCT in numpy, 4:4:4/4:2:0, restart markers.
+  - JPEG (jpeg.py): from-scratch ITU T.81 codec — baseline sequential
+    AND progressive (SOF2), Huffman + DCT in numpy, 4:4:4/4:2:0,
+    restart markers, spectral selection + successive approximation.
 
-Formats still needing real codec libs (progressive JPEG, MP4, ...)
+Formats still needing real codec libs (MP4, arithmetic-coded JPEG, ...)
 raise ``UnsupportedMediaError`` per blob and land in the ``error``
 column — the pipeline keeps flowing (bad blobs are data, not crashes).
 """

@@ -17,7 +17,7 @@ from searcharray_spark import multimodal as M
 from searcharray_spark.jpeg import (
     UnsupportedMediaError, ZIGZAG, _build_codes, _HuffDecoder, _BitReader,
     DC_LUMA_SPEC, AC_LUMA_SPEC, DC_CHROMA_SPEC, AC_CHROMA_SPEC,
-    decode_jpeg, encode_jpeg,
+    _huffman_spec, decode_jpeg, encode_jpeg, encode_jpeg_progressive,
 )
 
 RNG = np.random.default_rng(0x5EED)
@@ -161,13 +161,125 @@ def test_marker_stream_wellformed():
         < order.index(0xDA)
 
 
-def test_progressive_rejected():
+def test_sof2_with_sequential_scan_structure_rejected():
     data = bytearray(encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8)))
-    # flip SOF0 -> SOF2 (progressive)
+    # flip SOF0 -> SOF2: the full-spectrum interleaved scan that follows
+    # is illegal inside a progressive frame and must fail loudly
     i = data.find(b"\xff\xc0")
     data[i + 1] = 0xC2
-    with pytest.raises(UnsupportedMediaError, match="non-baseline"):
+    with pytest.raises(UnsupportedMediaError, match="DC scan"):
         decode_jpeg(bytes(data))
+
+
+def test_arithmetic_and_lossless_sofs_rejected():
+    data = bytearray(encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8)))
+    i = data.find(b"\xff\xc0")
+    for sof in (0xC3, 0xC9, 0xCA, 0xCB):
+        bad = bytearray(data)
+        bad[i + 1] = sof
+        with pytest.raises(UnsupportedMediaError, match="unsupported"):
+            decode_jpeg(bytes(bad))
+
+
+# --- progressive (SOF2) ----------------------------------------------------
+#
+# The progressive and baseline entropy layers are both lossless over the
+# same quantized coefficients, so decoding a progressive encoding must
+# be BIT-IDENTICAL to decoding a baseline encoding of the same image at
+# the same quality. That identity exercises every scan kind in the
+# default script: DC first + refinement, AC spectral bands, AC
+# refinement with EOB runs, ZRL, and correction bits.
+
+@pytest.mark.parametrize("subsample", [False, True])
+@pytest.mark.parametrize("quality", [35, 80, 95])
+def test_progressive_matches_baseline_color(subsample, quality):
+    img = RNG.integers(0, 256, (45, 37, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=quality, subsample=subsample))
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality=quality,
+                                               subsample=subsample))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_matches_baseline_gray():
+    img = RNG.integers(0, 256, (40, 56), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=75))
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality=75))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_sparse_image_long_eob_runs():
+    # one textured corner in a flat sea -> most bands are all-zero, so
+    # EOBn symbols with run > 1 dominate the AC scans
+    img = np.full((96, 96, 3), 128, dtype=np.uint8)
+    img[:8, :8] = RNG.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=85))
+    prog_bytes = encode_jpeg_progressive(img, quality=85)
+    assert np.array_equal(base, decode_jpeg(prog_bytes))
+    # progressive should win on this image (EOB runs amortize flatness)
+    assert len(prog_bytes) < len(encode_jpeg(img, quality=85))
+
+
+def test_progressive_spectral_only_script():
+    # pure spectral selection, no successive approximation (Ah=Al=0)
+    img = RNG.integers(0, 256, (24, 31, 3), dtype=np.uint8)
+    scans = [((0, 1, 2), 0, 0, 0, 0),
+             ((0,), 1, 10, 0, 0), ((0,), 11, 63, 0, 0),
+             ((1,), 1, 63, 0, 0), ((2,), 1, 63, 0, 0)]
+    base = decode_jpeg(encode_jpeg(img, quality=70))
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality=70, scans=scans))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_deep_successive_approximation():
+    # Al=3 first pass then three refinement passes, DC and AC
+    img = RNG.integers(0, 256, (32, 32), dtype=np.uint8)
+    scans = [((0,), 0, 0, 0, 3),
+             ((0,), 1, 63, 0, 3),
+             ((0,), 0, 0, 3, 2), ((0,), 1, 63, 3, 2),
+             ((0,), 0, 0, 2, 1), ((0,), 1, 63, 2, 1),
+             ((0,), 0, 0, 1, 0), ((0,), 1, 63, 1, 0)]
+    base = decode_jpeg(encode_jpeg(img, quality=92))
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality=92, scans=scans))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_truncated_rejected():
+    data = encode_jpeg_progressive(
+        RNG.integers(0, 256, (16, 16, 3), dtype=np.uint8))
+    with pytest.raises((UnsupportedMediaError, ValueError)):
+        decode_jpeg(data[:len(data) // 3])
+
+
+def test_progressive_through_multimodal_dispatch():
+    img = np.full((10, 12, 3), (3, 199, 77), dtype=np.uint8)
+    out, fmt = M.decode_image(encode_jpeg_progressive(img, quality=95))
+    assert fmt == "jpeg"
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+
+
+def test_huffman_spec_valid_and_optimal_shape():
+    counts = {0x00: 1000, 0x01: 500, 0x11: 100, 0xF0: 3, 0x21: 1}
+    bits, values = _huffman_spec(counts)
+    assert sum(bits) == len(values) == len(counts)
+    # prefix-free + all-ones code unused (Kraft sum strictly < 1)
+    kraft = sum(n / (1 << (i + 1)) for i, n in enumerate(bits))
+    assert kraft < 1
+    # most frequent symbol gets the shortest code
+    codes = _build_codes(bits, values)
+    assert codes[0x00][1] == min(ln for _, ln in codes.values())
+    # decode table accepts every emitted code
+    dec = _HuffDecoder(bits, values)
+    for sym, (code, ln) in codes.items():
+        raw = code << (8 * 3 - ln)
+        br = _BitReader(raw.to_bytes(3, "big"))
+        assert dec.decode(br) == sym
+
+
+def test_huffman_spec_single_symbol():
+    bits, values = _huffman_spec({0x00: 42})
+    assert sum(bits) == 1 and values == [0x00]
+    codes = _build_codes(bits, values)
+    assert codes[0x00][1] >= 1
 
 
 def test_truncated_rejected():
