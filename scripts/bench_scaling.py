@@ -94,7 +94,10 @@ def run_queries(idx, repeat: int) -> dict:
 # CPU-s at local[2]'s layout (+40% work inflation), while a fixed layout
 # at local[8] costs 335.6 CPU-s (+3.6%) — the old protocol conflated
 # core scaling with layout overhead.
-FIXED_LAYOUT_PARTITIONS = 8
+# 16 partitions = the ~54 MB/file layout the engine's own 64 MB data
+# sizing rounds to for this corpus (865 MB staged), and divides evenly
+# into task waves at both pinned levels (8 waves at 2 cores, 2 at 8).
+FIXED_LAYOUT_PARTITIONS = 16
 
 
 def worker(cpus: int, n_docs: int, repeat: int = 3):

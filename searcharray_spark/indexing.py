@@ -141,15 +141,27 @@ def write_term_stats(stage_p: DataFrame, path: str, n_partitions: int,
     term-sorted within files, so term-pruned lookups keep row-group
     min/max skipping.
     """
-    agg = stage_p.groupBy(
-        "term", (F.floor(F.col("block_id") / F.lit(granularity))).alias("grp")
-    ).agg(
-        F.sum("df").alias("df"),
-        F.sum("tf_total").alias("tf_total"),
-        F.max("tf_max").alias("tf_max"),
-        F.min("dl_min").alias("dl_min"),
-        F.countDistinct("block_id").alias("n_blocks"),
-    )
+    if granularity > 1:
+        # > 64Ki blocks: pre-aggregate blocks into groups — map-side
+        # combinable, so the shuffled volume is capped at MAX_BOUND_GROUPS
+        # rows per term no matter the corpus size
+        agg = stage_p.groupBy(
+            "term", (F.floor(F.col("block_id") / F.lit(granularity))).alias("grp")
+        ).agg(
+            F.sum("df").alias("df"),
+            F.sum("tf_total").alias("tf_total"),
+            F.max("tf_max").alias("tf_max"),
+            F.min("dl_min").alias("dl_min"),
+            F.countDistinct("block_id").alias("n_blocks"),
+        )
+    else:
+        # granularity 1: every (term, block) row is already unique, so a
+        # groupBy would shuffle the whole stats stream once for ZERO
+        # reduction and then repartition would shuffle it again. Feed the
+        # rows straight to the term-partitioned gather — one shuffle.
+        agg = stage_p.select(
+            "term", F.col("block_id").alias("grp"), "df", "tf_total",
+            "tf_max", "dl_min", F.lit(1).alias("n_blocks"))
 
     def gather(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         batches = [pdf for pdf in it if len(pdf)]
@@ -536,49 +548,55 @@ def build_index(
 
     df = df.withColumn("block_id", F.floor(F.col("doc_id") / F.lit(docs_per_block)))
 
-    # ONE metadata job: max id (-> block count), row count and text bytes
-    # (-> small-build eligibility)
-    aggs = [F.max("doc_id").alias("mx"), F.count(F.lit(1)).alias("cnt")]
-    if tokens_col is None:
-        aggs.append(F.sum(F.octet_length("text")).alias("tb"))
-    else:
-        # pretokenized: the same byte cap must gate the driver-local
-        # toPandas — estimate per-doc size as token bytes + array slack
-        aggs.append(F.sum(F.expr(
-            "aggregate(text, 0L, (a, x) -> a + octet_length(x) + 8L)"
-        )).alias("tb"))
-    head = df.agg(*aggs).collect()[0]
-    max_doc, n_rows = head["mx"], int(head["cnt"])
-    text_bytes = int(head["tb"] or 0)
-    n_blocks = int(max_doc // docs_per_block) + 1 if max_doc is not None else 1
-
     builder = _make_block_builder(tokenizer_fn, docs_per_block, truncate,
                                   max_words_per_row,
                                   pretokenized=tokens_col is not None)
 
-    if (checkpoint_groups <= 1 and not resume
-            and n_rows <= SMALL_BUILD_MAX_DOCS
-            and text_bytes <= SMALL_BUILD_MAX_BYTES):
-        # driver-local fast path: identical layout, zero Spark jobs past
-        # this toPandas — update segments, streaming micro-batches, and
-        # toy benches skip ~10 jobs of fixed scheduling overhead
-        pdf = df.select("doc_id", "text", "block_id").toPandas()
-        for sub in ("postings", "doclens", "term_stats"):
-            import shutil as _sh
-            _sh.rmtree(os.path.join(index_path, sub), ignore_errors=True)
-        os.makedirs(index_path, exist_ok=True)
-        tp = term_partitions or max(
-            1, min(4, spark.sparkContext.defaultParallelism))
-        return _build_index_local(
-            spark, pdf, index_path, builder, docs_per_block, n_blocks, tp,
-            tokenizer_name, truncate, t_start, tokenizer_fn)
+    if checkpoint_groups <= 1 and not resume:
+        # small-build gate via incremental limit-probe: take() executes
+        # CollectLimit partition-by-partition, so a big corpus answers
+        # after ~one input split instead of a full metadata scan (which
+        # at 100 TB would be an entire extra pass over the text bytes —
+        # measured 4-6% of total build time at 4M docs)
+        probe = df.select("doc_id").take(SMALL_BUILD_MAX_DOCS + 1)
+        if len(probe) <= SMALL_BUILD_MAX_DOCS:
+            # provably small row count: the full metadata agg is cheap now
+            aggs = [F.max("doc_id").alias("mx")]
+            if tokens_col is None:
+                aggs.append(F.sum(F.octet_length("text")).alias("tb"))
+            else:
+                # pretokenized: the same byte cap must gate the driver-local
+                # toPandas — estimate per-doc size as token bytes + array slack
+                aggs.append(F.sum(F.expr(
+                    "aggregate(text, 0L, (a, x) -> a + octet_length(x) + 8L)"
+                )).alias("tb"))
+            head = df.agg(*aggs).collect()[0]
+            max_doc = head["mx"]
+            n_blocks = int(max_doc // docs_per_block) + 1 if max_doc is not None else 1
+            if int(head["tb"] or 0) <= SMALL_BUILD_MAX_BYTES:
+                # driver-local fast path: identical layout, zero Spark jobs
+                # past this toPandas — update segments, streaming
+                # micro-batches, and toy benches skip ~10 jobs of fixed
+                # scheduling overhead
+                pdf = df.select("doc_id", "text", "block_id").toPandas()
+                for sub in ("postings", "doclens", "term_stats"):
+                    import shutil as _sh
+                    _sh.rmtree(os.path.join(index_path, sub), ignore_errors=True)
+                os.makedirs(index_path, exist_ok=True)
+                tp = term_partitions or max(
+                    1, min(4, spark.sparkContext.defaultParallelism))
+                return _build_index_local(
+                    spark, pdf, index_path, builder, docs_per_block, n_blocks, tp,
+                    tokenizer_name, truncate, t_start, tokenizer_fn)
 
     # pre-partition by block so the per-block kernels get full cluster
     # parallelism (one-ish block per reducer); groupBy reuses this
     # partitioning, and an explicit count keeps AQE from coalescing the
-    # CPU-heavy python stages onto a few reducers
+    # CPU-heavy python stages onto a few reducers. A corpus with fewer
+    # blocks than this just leaves some partitions empty (cheap no-op
+    # tasks) — not worth a pre-pass to count blocks.
     parallelism = spark.sparkContext.defaultParallelism
-    build_partitions = min(max(n_blocks, 1), max(4 * parallelism, 16))
+    build_partitions = max(4 * parallelism, 16)
     df = df.repartition(build_partitions, "block_id")
 
     stage_path = os.path.join(index_path, "stage")
@@ -611,6 +629,10 @@ def build_index(
             }) + "\n")
 
     stage = spark.read.parquet(stage_path)
+    # block count from the staged data (column-pruned agg over the stage
+    # files — replaces the pre-stage full-corpus metadata scan)
+    max_block = stage.agg(F.max("block_id")).collect()[0][0]
+    n_blocks = int(max_block) + 1 if max_block is not None else 1
     if term_partitions is None:
         # target ~64 MB postings files: files smaller than Spark's
         # maxPartitionBytes are never split across scan partitions, so
@@ -661,9 +683,15 @@ def build_index(
             .parquet(os.path.join(index_path, "doclens"))
 
     def _write_term_stats():
+        # full term_partitions width: the gather stage is the sketch
+        # table's parallelism ceiling, and a narrow width (an old
+        # term_partitions // 4) capped it at 2 tasks in the 2-vs-8-core
+        # scaling protocol (measured 1.8x speedup on 4x cores). Width is
+        # still data-sized (same layout at any core count); the sketch
+        # files just get smaller.
         write_term_stats(stage.filter(F.col("kind") == "p"),
                          os.path.join(index_path, "term_stats"),
-                         max(1, term_partitions // 4), granularity)
+                         term_partitions, granularity)
 
     stats_schema = StructType([
         StructField("n", LongType()), StructField("s", FloatType()),
