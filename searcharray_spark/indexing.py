@@ -517,6 +517,7 @@ def build_index(
     checkpoint_groups: int = 1,
     resume: bool = False,
     max_words_per_row: int = 131072,
+    stage_partitions: Optional[int] = None,
 ):
     """Build the inverted index; returns a loaded ``SearchIndex``.
 
@@ -526,6 +527,13 @@ def build_index(
     ``tokens_col`` builds from a pre-tokenized ``array<string>`` column
     (reference S3, indexing.py:298-342) — no tokenizer runs at build
     time; ``tokenizer`` still names the query-side tokenizer.
+
+    ``stage_partitions`` sets the width of the one build shuffle (text →
+    per-block builder). Defaults to ``spark.sql.shuffle.partitions`` so
+    the job's layout — and therefore its total work — is a function of
+    the DATA sizing the user configured, not of how many cores happen to
+    be attached; resizing the cluster then changes only wall-clock, which
+    is what a scaling-efficiency comparison must measure.
     """
     from .index import SearchIndex
 
@@ -552,13 +560,17 @@ def build_index(
                                   max_words_per_row,
                                   pretokenized=tokens_col is not None)
 
+    phases: dict = {}
+
     if checkpoint_groups <= 1 and not resume:
         # small-build gate via incremental limit-probe: take() executes
         # CollectLimit partition-by-partition, so a big corpus answers
         # after ~one input split instead of a full metadata scan (which
         # at 100 TB would be an entire extra pass over the text bytes —
         # measured 4-6% of total build time at 4M docs)
+        t_p = time.time()
         probe = df.select("doc_id").take(SMALL_BUILD_MAX_DOCS + 1)
+        phases["probe"] = round(time.time() - t_p, 3)
         if len(probe) <= SMALL_BUILD_MAX_DOCS:
             # provably small row count: the full metadata agg is cheap now
             aggs = [F.max("doc_id").alias("mx")]
@@ -590,14 +602,20 @@ def build_index(
                     tokenizer_name, truncate, t_start, tokenizer_fn)
 
     # pre-partition by block so the per-block kernels get full cluster
-    # parallelism (one-ish block per reducer); groupBy reuses this
-    # partitioning, and an explicit count keeps AQE from coalescing the
-    # CPU-heavy python stages onto a few reducers. A corpus with fewer
-    # blocks than this just leaves some partitions empty (cheap no-op
-    # tasks) — not worth a pre-pass to count blocks.
-    parallelism = spark.sparkContext.defaultParallelism
-    build_partitions = max(4 * parallelism, 16)
-    df = df.repartition(build_partitions, "block_id")
+    # parallelism; groupBy reuses this partitioning, and an explicit
+    # count keeps AQE from coalescing the CPU-heavy python stages onto a
+    # few reducers. The width is sized from the session's shuffle width
+    # (a DATA/cluster-sized config), NOT from core count: the same job
+    # on the same input must produce the same layout and do the same
+    # work at N and 4N executors, or cluster-resize scaling measurements
+    # conflate core scaling with layout change (round-5 finding: the old
+    # 4*defaultParallelism coupling inflated stage CPU 39% at local[8]
+    # vs local[2] on identical input). A corpus with fewer blocks just
+    # leaves some partitions empty (cheap no-op tasks).
+    if stage_partitions is None:
+        stage_partitions = max(
+            int(spark.conf.get("spark.sql.shuffle.partitions")), 16)
+    df = df.repartition(stage_partitions, "block_id")
 
     stage_path = os.path.join(index_path, "stage")
     marker_dir = os.path.join(index_path, "_groups")
@@ -605,6 +623,7 @@ def build_index(
 
     groups = max(1, checkpoint_groups)
     metrics_path = os.path.join(index_path, "metrics.jsonl")
+    t_stage = time.time()
     for g in range(groups):
         marker = os.path.join(marker_dir, f"group_{g}_of_{groups}.done")
         if resume and os.path.exists(marker):
@@ -628,10 +647,14 @@ def build_index(
                 "secs": round(g_secs, 3),
             }) + "\n")
 
+    phases["stage"] = round(time.time() - t_stage, 3)
+
     stage = spark.read.parquet(stage_path)
     # block count from the staged data (column-pruned agg over the stage
     # files — replaces the pre-stage full-corpus metadata scan)
+    t_p = time.time()
     max_block = stage.agg(F.max("block_id")).collect()[0][0]
+    phases["max_block_agg"] = round(time.time() - t_p, 3)
     n_blocks = int(max_block) + 1 if max_block is not None else 1
     if term_partitions is None:
         # target ~64 MB postings files: files smaller than Spark's
@@ -714,6 +737,7 @@ def build_index(
             .collect()[0]
 
     from concurrent.futures import ThreadPoolExecutor
+    t_p = time.time()
     with ThreadPoolExecutor(4) as pool:
         futs = [pool.submit(f) for f in
                 (_write_postings, _write_doclens, _write_term_stats)]
@@ -721,6 +745,7 @@ def build_index(
         for f in futs:
             f.result()
         stats = stats_fut.result()
+    phases["finalize4"] = round(time.time() - t_p, 3)
 
     meta = {
         # 3 = block-range-partitioned postings (zero-shuffle phrase path)
@@ -752,6 +777,7 @@ def build_index(
             "stage": "finalize", "num_docs": meta["num_docs"],
             "total_tokens": meta["total_tokens"],
             "secs": meta["build_secs"],
+            "phases": phases,
             "docs_per_sec": round(meta["num_docs"] / max(meta["build_secs"], 1e-9), 1),
             "tokens_per_sec": round(
                 (meta["total_tokens"] or 0) / max(meta["build_secs"], 1e-9), 1),
