@@ -68,6 +68,7 @@ from pyspark.sql.types import (
 from . import kernels as K
 from . import tokenizers
 from .constants import DEFAULT_DOCS_PER_BLOCK, MAX_POSN
+from .partitioning import PROBE_MAX_PARTITIONS, repartition_exact
 
 # Parquet writer row-group target for postings/doclens files: far above
 # the ~64 MB file target, so every file flushes exactly ONE row group
@@ -107,16 +108,29 @@ def verify_single_row_group(path: str) -> bool:
     return True
 
 
-def write_postings_table(df: DataFrame, path: str, n_partitions: int) -> bool:
+def write_postings_table(df: DataFrame, path: str, n_partitions: int,
+                         n_blocks: Optional[int] = None) -> bool:
     """Write a postings DataFrame in the document-partitioned layout.
 
-    Range-partitioned by block_id (hot terms spread across every file),
+    Block-range-partitioned (hot terms spread across every file),
     term-sorted within files (parquet row-group/page min-max stats prune
     pushed term filters), ONE row group per file (atomic scan-partition
     assignment). Returns the verified single-row-group flag for meta.
+
+    When ``n_blocks`` is known the contiguous ranges are assigned
+    EXACTLY (``fid = block_id * n / n_blocks`` via the probe exchange,
+    partitioning.py): equal ranges, and no range-sampling pass — which
+    here would re-decode the whole packed-postings column just to learn
+    bounds the block model already pins. Unknown ``n_blocks`` (external
+    callers, merges) falls back to sampled range partitioning.
     """
-    df.repartitionByRange(n_partitions, "block_id") \
-        .sortWithinPartitions("term", "block_id") \
+    if n_blocks is not None and n_partitions <= PROBE_MAX_PARTITIONS:
+        fid = F.floor(F.col("block_id") * F.lit(int(n_partitions))
+                      / F.lit(int(max(n_blocks, 1))))
+        df = repartition_exact(df, fid, n_partitions)
+    else:
+        df = df.repartitionByRange(n_partitions, "block_id")
+    df.sortWithinPartitions("term", "block_id") \
         .write.mode("overwrite") \
         .option("parquet.block.size", str(PARQUET_ROW_GROUP_BYTES)) \
         .parquet(path)
@@ -613,9 +627,19 @@ def build_index(
     # vs local[2] on identical input). A corpus with fewer blocks just
     # leaves some partitions empty (cheap no-op tasks).
     if stage_partitions is None:
+        # 2x the shuffle width: the stage is the CPU-heaviest phase, and
+        # finer tasks let dynamic scheduling absorb per-task variance
+        # (measured: 32 partitions beat 16 by ~9% wall at 8 cores on the
+        # 4M corpus, identical CPU)
         stage_partitions = max(
-            int(spark.conf.get("spark.sql.shuffle.partitions")), 16)
-    df = df.repartition(stage_partitions, "block_id")
+            2 * int(spark.conf.get("spark.sql.shuffle.partitions")), 16)
+    # exact round-robin block -> task placement: a raw hash exchange on
+    # block_id puts ~128 blocks into 32 partitions with balls-in-bins
+    # skew (heaviest task ~1.6x mean); the probe exchange makes task
+    # loads exactly even
+    df = repartition_exact(
+        df, F.pmod(F.col("block_id"), F.lit(int(stage_partitions))),
+        stage_partitions, range_fallback_cols=["block_id"])
 
     stage_path = os.path.join(index_path, "stage")
     marker_dir = os.path.join(index_path, "_groups")
@@ -690,17 +714,24 @@ def build_index(
             stage.filter(F.col("kind") == "p")
                  .select("term", "block_id", "postings", "df", "tf_total",
                          "tf_max", "dl_min"),
-            os.path.join(index_path, "postings"), term_partitions)
+            os.path.join(index_path, "postings"), term_partitions,
+            n_blocks=n_blocks)
 
     def _write_doclens():
         # same block-range partitioning as postings: the query kernel
         # locates a block's doclens by file block-range (footer stats)
         # and side-input-reads just that file — no broadcast above the
         # small-corpus cap, no per-query doclens shuffle, ever
-        stage.filter(F.col("kind") == "d") \
-            .select("block_id", "doc_ids", "doc_lens") \
-            .repartitionByRange(term_partitions, "block_id") \
-            .sortWithinPartitions("block_id") \
+        d = stage.filter(F.col("kind") == "d") \
+            .select("block_id", "doc_ids", "doc_lens")
+        if term_partitions <= PROBE_MAX_PARTITIONS:
+            # exact contiguous ranges, no range-sampling pass/job
+            fid = F.floor(F.col("block_id") * F.lit(int(term_partitions))
+                          / F.lit(int(max(n_blocks, 1))))
+            d = repartition_exact(d, fid, term_partitions)
+        else:
+            d = d.repartitionByRange(term_partitions, "block_id")
+        d.sortWithinPartitions("block_id") \
             .write.mode("overwrite") \
             .option("parquet.block.size", str(PARQUET_ROW_GROUP_BYTES)) \
             .parquet(os.path.join(index_path, "doclens"))
