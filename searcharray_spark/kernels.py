@@ -274,6 +274,25 @@ def intersect_nearby_headers(encoded: List[np.ndarray],
     return out
 
 
+def _bitmaps_around(cj, bj, ci):
+    """(left, same, right) = cj's bitmaps at composites ci-1, ci, ci+1 —
+    ONE searchsorted; neighbors resolve by adjacency in the sorted cj."""
+    n = len(cj)
+    if n == 0:
+        z = np.zeros(len(ci), dtype=np.uint64)
+        return z, z, z
+    zero = np.uint64(0)
+    pos = np.searchsorted(cj, ci, side="left")
+    posc = np.minimum(pos, n - 1)
+    has_same = cj[posc] == ci
+    same = np.where(has_same, bj[posc], zero)
+    posl = np.maximum(pos - 1, 0)
+    left = np.where(cj[posl] == ci - 1, bj[posl], zero)
+    posr = np.minimum(pos + has_same, n - 1)
+    right = np.where(cj[posr] == ci + 1, bj[posr], zero)
+    return left, same, right
+
+
 def mask_nearby_positions(encoded: List[np.ndarray],
                           width: int) -> List[np.ndarray]:
     """Bit-exact proximity pre-filter for span counting: in every array,
@@ -305,24 +324,7 @@ def mask_nearby_positions(encoded: List[np.ndarray],
     max_block = np.int64(MAX_POSN // 18)
     comps = [(e >> MSB_SHIFT).astype(np.int64) for e in encoded]
     payloads = [e & PAYLOAD_LSB_MASK for e in encoded]
-
-    def bitmaps_around(cj, bj, ci):
-        """(left, same, right) = cj's bitmaps at ci-1, ci, ci+1 — ONE
-        searchsorted; neighbors resolve by adjacency in the sorted cj."""
-        n = len(cj)
-        if n == 0:
-            z = np.zeros(len(ci), dtype=np.uint64)
-            return z, z, z
-        zero = np.uint64(0)
-        pos = np.searchsorted(cj, ci, side="left")
-        posc = np.minimum(pos, n - 1)
-        has_same = cj[posc] == ci
-        same = np.where(has_same, bj[posc], zero)
-        posl = np.maximum(pos - 1, 0)
-        left = np.where(cj[posl] == ci - 1, bj[posl], zero)
-        posr = np.minimum(pos + has_same, n - 1)
-        right = np.where(cj[posr] == ci + 1, bj[posr], zero)
-        return left, same, right
+    bitmaps_around = _bitmaps_around
 
     out = []
     for i, e in enumerate(encoded):
@@ -498,13 +500,82 @@ def trim_to_rarest(encoded: List[np.ndarray]) -> List[np.ndarray]:
             for e in encoded]
 
 
+def _adjacent_terms_equal(encoded: List[np.ndarray]) -> bool:
+    """True if any two ADJACENT phrase slots hold the same posting
+    array (same term). Object identity first; equal-by-value catches
+    slices rebuilt per slot (one memcmp-speed pass, short-circuits on
+    length)."""
+    for a, b in zip(encoded, encoded[1:]):
+        if a is b or (len(a) == len(b) and np.array_equal(a, b)):
+            return True
+    return False
+
+
+def phrase_freqs_direct(encoded: List[np.ndarray]) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact phrase frequencies in ONE pass: AND of offset-shifted
+    position lanes around the rarest term.
+
+    Anchor on the rarest term; for every other slot ``j`` gather its
+    (left, same, right) posn-block bitmaps at each anchor word's
+    composite, concatenate into a 54-bit lane, shift by the slot offset
+    ``j - r``, and AND into the anchor's payload. Surviving bits are
+    exactly the anchor-slot positions of full phrase matches, so the
+    per-doc popcount IS the phrase frequency — no bigram chain, no
+    continuation arrays, and each hot term is touched once by a binary
+    search sized by the RARE term (the chain intersects full hot
+    arrays). After each AND the anchor compacts to surviving words, so
+    later (hotter, visited rarest-first) slots probe a shrinking set.
+
+    Valid only when no two ADJACENT slots repeat a term (else the
+    reference's non-overlapping-run correction applies — bigram chain
+    handles those, reference bigram_freqs._adj_to_phrase_freq) and when
+    slot offsets fit the ±18-bit lane (k <= 19). Unlike the chain it
+    never emits zero-count docs. Equivalence to the chain and to a
+    naive scan is property-tested (tests/test_phrase_direct.py).
+    """
+    k = len(encoded)
+    lengths = [len(e) for e in encoded]
+    if min(lengths) == 0:
+        return _EMPTY_I64, _EMPTY_I64
+    r = lengths.index(min(lengths))
+    anchor = encoded[r]
+    ci = (anchor >> MSB_SHIFT).astype(np.int64)
+    blk = ci & np.int64((1 << 18) - 1)
+    max_block = np.int64(MAX_POSN // 18)
+    acc = (anchor & PAYLOAD_LSB_MASK).copy()
+    akeys = keys(anchor)
+    order = sorted((j for j in range(k) if j != r), key=lambda j: lengths[j])
+    for j in order:
+        off = j - r
+        left, same, right = _bitmaps_around(
+            (encoded[j] >> MSB_SHIFT).astype(np.int64),
+            encoded[j] & PAYLOAD_LSB_MASK, ci)
+        left[blk == 0] = _0                # previous word is another doc
+        right[blk == max_block] = _0       # next word is another doc
+        ext = left | (same << np.uint64(18)) | (right << np.uint64(36))
+        acc &= (ext >> np.uint64(18 + off)) & PAYLOAD_LSB_MASK
+        nz = acc != 0
+        n_nz = int(nz.sum())
+        if n_nz == 0:
+            return _EMPTY_I64, _EMPTY_I64
+        if n_nz * 2 < len(acc):            # compact surviving words
+            acc, ci, blk, akeys = acc[nz], ci[nz], blk[nz], akeys[nz]
+    nz = acc != 0
+    return _sum_by_id(akeys[nz], popcount64(acc[nz]))
+
+
 def phrase_freqs(encoded: List[np.ndarray]) -> Tuple[np.ndarray, np.ndarray]:
     """Exact-phrase per-doc frequencies over packed posting arrays.
 
-    Rare-first trim, then a chain of bigram steps with continuation;
-    per-doc count = min of the per-step bigram counts on docs present in
-    every step (reference middle_out.compute_phrase_freqs, including its
-    direction heuristic). Returns (doc_ids, counts), doc_ids sorted.
+    Rare-first trim, then: distinct-adjacent phrases short enough that
+    the bigram chain is exact (no middle-out split) take the one-pass
+    AND-shift kernel (``phrase_freqs_direct``); adjacent-equal terms
+    take the chain for its non-overlapping-run correction; long phrases
+    with a middle rarest term keep the reference's middle-out split
+    semantics (middle_out.compute_phrase_freqs, including its
+    direction heuristic). Returns (doc_ids, counts), doc_ids sorted;
+    zero-count docs may be present (chain) or absent (direct) — callers
+    must filter, as index._hits does.
     """
     if len(encoded) == 0:
         return _EMPTY_I64, _EMPTY_I64
@@ -514,6 +585,10 @@ def phrase_freqs(encoded: List[np.ndarray]) -> Tuple[np.ndarray, np.ndarray]:
         return _EMPTY_I64, _EMPTY_I64
     encoded = trim_to_rarest(encoded)
     shortest = min(range(len(encoded)), key=lambda i: len(encoded[i]))
+    chain_is_exact = shortest <= 1 or shortest >= len(encoded) - 2
+    if (chain_is_exact and len(encoded) <= 19
+            and not _adjacent_terms_equal(encoded)):
+        return phrase_freqs_direct(encoded)
     if shortest <= 1:
         return _chain_l2r(encoded)
     if shortest >= len(encoded) - 2:
