@@ -14,15 +14,18 @@ REAL decoders (stdlib + numpy only — no codec libraries needed):
     unfiltering (filters 0-4 incl. Paeth), pure numpy per row.
   - Image features: mean/std per channel + 4x4 block-mean luma grid
     (a pooled 16-dim embedding stand-in); block-mean resize.
-  - "Video" frame sampling for concatenated-PPM streams (a simple
-    uncompressed container): every-n-th frame decoded + fingerprinted.
+  - Video frame sampling for concatenated-PPM streams AND MP4/ISO-BMFF
+    containers (mp4.py: box walk + full sample-table expansion);
+    Motion-JPEG tracks decode to pixels, other codecs yield per-frame
+    bytes + metadata; ``video_metadata`` probes codec/dims/fps/keyframes.
   - JPEG (jpeg.py): from-scratch ITU T.81 codec — baseline sequential
     AND progressive (SOF2), Huffman + DCT in numpy, 4:4:4/4:2:0,
     restart markers, spectral selection + successive approximation.
 
-Formats still needing real codec libs (MP4, arithmetic-coded JPEG, ...)
-raise ``UnsupportedMediaError`` per blob and land in the ``error``
-column — the pipeline keeps flowing (bad blobs are data, not crashes).
+Formats still needing real codec libs (H.264/HEVC entropy decode,
+arithmetic-coded JPEG, ...) raise ``UnsupportedMediaError`` per blob and
+land in the ``error`` column — the pipeline keeps flowing (bad blobs are
+data, not crashes).
 """
 from __future__ import annotations
 
@@ -396,11 +399,20 @@ def audio_features(df: DataFrame, id_col: str = "media_id",
 
 
 def sample_frames(df: DataFrame, every_n: int = 10, id_col: str = "media_id",
-                  payload_col: str = "payload") -> DataFrame:
-    """Frame sampling over a concatenated-PPM video stream (a simple
-    uncompressed container: back-to-back P6 frames): decode every
-    ``every_n``-th frame, fingerprint + mean luma. Real codecs (MP4 etc.)
-    would slot an ffmpeg call into this same kernel shape."""
+                  payload_col: str = "payload",
+                  sync_only: bool = False) -> DataFrame:
+    """Frame sampling over video blobs. Two containers are parsed for
+    real (stdlib + numpy only):
+
+    - **MP4 / ISO-BMFF** (:mod:`searcharray_spark.mp4`): the sample
+      table gives every frame's byte extent + timestamp + sync flag;
+      Motion-JPEG tracks decode fully through the from-scratch T.81
+      codec (mean luma populated), other codecs (avc1/hev1/...) yield
+      fingerprint + size + track dimensions with ``mean_luma`` null
+      (entropy decode needs a codec lib the container lacks).
+    - **concatenated-PPM streams** (back-to-back P6 frames): full decode.
+
+    ``sync_only`` restricts MP4 sampling to keyframes (stss)."""
 
     def iter_ppm_frames(b: bytes):
         # frame length comes from each header (never scan pixel bytes
@@ -414,15 +426,42 @@ def sample_frames(df: DataFrame, every_n: int = 10, id_col: str = "media_id",
             idx += 1
             pos = end
 
+    def mp4_rows(mid: int, b: bytes) -> list:
+        from .jpeg import decode_jpeg
+        from .mp4 import MJPEG_CODECS, iter_video_samples, probe_mp4
+        info = probe_mp4(b)
+        track = info.video_track()
+        rows = []
+        for idx, _pts, sample in iter_video_samples(
+                b, every_n=every_n, sync_only=sync_only, info=info):
+            sha = hashlib.sha1(sample).hexdigest()
+            if track.codec in MJPEG_CODECS:
+                img = decode_jpeg(sample)
+                rows.append((mid, idx, img.shape[1], img.shape[0], sha,
+                             float(_luma(img).mean())))
+            else:
+                # opaque codec: container metadata + fingerprint only
+                rows.append((mid, idx, track.width or None,
+                             track.height or None, sha, None))
+        return rows
+
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .mp4 import Mp4Error, is_mp4
         for pdf in it:
             rows = []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 if payload is None:
                     continue
                 b = bytes(payload)
+                if is_mp4(b):
+                    try:
+                        rows.extend(mp4_rows(int(mid), b))
+                    except (Mp4Error, UnsupportedMediaError, ValueError,
+                            struct.error):
+                        pass  # bad blob is data, not a crash
+                    continue
                 if not b.startswith(b"P6"):
-                    continue  # not a PPM stream: skip (unsupported codec)
+                    continue  # unknown container: skip
                 # the generator's own header parse can raise on a
                 # truncated trailing frame — bad blobs are data, not
                 # crashes, so the whole iteration is guarded
@@ -443,3 +482,71 @@ def sample_frames(df: DataFrame, every_n: int = 10, id_col: str = "media_id",
 
     return df.select(F.col(id_col), F.col(payload_col)) \
         .mapInPandas(kernel, FRAME_SAMPLE_SCHEMA)
+
+
+VIDEO_META_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("container", StringType()),   # mp4 | ppm-stream
+    StructField("codec", StringType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("n_frames", IntegerType()),
+    StructField("n_keyframes", IntegerType()),
+    StructField("duration_sec", FloatType()),
+    StructField("fps", FloatType()),
+    StructField("error", StringType()),
+])
+
+
+def video_metadata(df: DataFrame, id_col: str = "media_id",
+                   payload_col: str = "payload") -> DataFrame:
+    """Container-level video metadata (no pixel decode): codec fourcc,
+    dimensions, frame/keyframe counts, duration, fps.  MP4 via the
+    ISO-BMFF sample table (:mod:`searcharray_spark.mp4`); concatenated
+    PPM streams by walking frame headers.  Unknown/broken blobs land in
+    the ``error`` column."""
+
+    def one(mid: int, b: bytes):
+        from .mp4 import Mp4Error, is_mp4, probe_mp4
+        if is_mp4(b):
+            info = probe_mp4(b)
+            t = info.video_track()
+            if t is None:
+                raise Mp4Error("no video track")
+            dur = t.duration_sec or info.duration_sec
+            fps = (t.n_samples / dur) if dur else None
+            return (mid, "mp4", t.codec, t.width or None, t.height or None,
+                    t.n_samples, int(t.sync_flags.sum()),
+                    float(dur) if dur else None,
+                    float(fps) if fps else None, None)
+        if b.startswith(b"P6"):
+            n = 0
+            w = h = 0
+            pos = 0
+            while pos < len(b) and b[pos:pos + 2] == b"P6":
+                w, h, _, off = _ppm_header(b, pos)
+                pos = off + w * h * 3
+                n += 1
+            return (mid, "ppm-stream", "rawrgb", w, h, n, n, None, None,
+                    None)
+        raise UnsupportedMediaError("unknown video container")
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .mp4 import Mp4Error
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                try:
+                    rows.append(one(int(mid), bytes(payload)))
+                except (Mp4Error, UnsupportedMediaError, ValueError,
+                        struct.error) as e:
+                    rows.append((int(mid), None, None, None, None, None,
+                                 None, None, None, str(e)[:200]))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "container", "codec", "width", "height",
+                "n_frames", "n_keyframes", "duration_sec", "fps", "error"])
+
+    return df.select(F.col(id_col), F.col(payload_col)) \
+        .mapInPandas(kernel, VIDEO_META_SCHEMA)
