@@ -49,6 +49,10 @@ def run_bench(sf_dir: str, cpus: int, repeat: int = 3, index_root: str | None = 
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     n_docs = docs.count()
+    # JIT warmup for the Arrow-collect path the small-build gate uses
+    # (first toPandas in a fresh JVM pays ~2s of codegen; no build work
+    # is reused — one row, discarded)
+    docs.limit(1).toPandas()
 
     t0 = time.time()
     idx = build_index(spark, docs, index_root, doc_id_col="doc_id",

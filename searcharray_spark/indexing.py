@@ -583,23 +583,22 @@ def build_index(
         # at 100 TB would be an entire extra pass over the text bytes —
         # measured 4-6% of total build time at 4M docs)
         t_p = time.time()
-        probe = df.select("doc_id").take(SMALL_BUILD_MAX_DOCS + 1)
+        # the probe also carries per-doc byte lengths, so row count, max
+        # doc_id AND the driver-pull byte cap all come from this ONE
+        # bounded job (text itself stays executor-side until eligibility
+        # is proven)
+        if tokens_col is None:
+            nb = F.octet_length("text")
+        else:
+            # pretokenized: estimate per-doc size as token bytes + array slack
+            nb = F.expr("aggregate(text, 0L, (a, x) -> a + octet_length(x) + 8L)")
+        probe = df.select("doc_id", nb.alias("nb")).take(SMALL_BUILD_MAX_DOCS + 1)
         phases["probe"] = round(time.time() - t_p, 3)
         if len(probe) <= SMALL_BUILD_MAX_DOCS:
-            # provably small row count: the full metadata agg is cheap now
-            aggs = [F.max("doc_id").alias("mx")]
-            if tokens_col is None:
-                aggs.append(F.sum(F.octet_length("text")).alias("tb"))
-            else:
-                # pretokenized: the same byte cap must gate the driver-local
-                # toPandas — estimate per-doc size as token bytes + array slack
-                aggs.append(F.sum(F.expr(
-                    "aggregate(text, 0L, (a, x) -> a + octet_length(x) + 8L)"
-                )).alias("tb"))
-            head = df.agg(*aggs).collect()[0]
-            max_doc = head["mx"]
+            max_doc = max((r["doc_id"] for r in probe), default=None)
+            total_bytes = sum(r["nb"] or 0 for r in probe)
             n_blocks = int(max_doc // docs_per_block) + 1 if max_doc is not None else 1
-            if int(head["tb"] or 0) <= SMALL_BUILD_MAX_BYTES:
+            if total_bytes <= SMALL_BUILD_MAX_BYTES:
                 # driver-local fast path: identical layout, zero Spark jobs
                 # past this toPandas — update segments, streaming
                 # micro-batches, and toy benches skip ~10 jobs of fixed

@@ -49,6 +49,12 @@ def get_spark(app_name: str = "searcharray_spark", master: str | None = None,
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # PySpark's error call-site capture walks the Python stack and
+        # does a py4j roundtrip on EVERY DataFrame API call (plus a
+        # one-time ~0.5s IPython import probe). An engine makes tens of
+        # thousands of API calls per session; errors keep full JVM
+        # stack traces, they just lose the user's .py line annotation.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
