@@ -92,6 +92,45 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
 
+# deterministic maintenance-delete predicate for the delete_then_* rows
+DEL_MOD, DEL_REM = 7, 3
+
+
+def _index_for_deleted(spark: SparkSession, sf_dir: str):
+    """Build (once) an index over documents, then tombstone every doc
+    with doc_id % DEL_MOD == DEL_REM via the public delete_docs API —
+    the maintenance plane (reference P8) exercised through the driver
+    gate. A marker file makes the build+delete idempotent across runs."""
+    from searcharray_spark import SearchIndex, build_index
+
+    _ensure_pkg_on_executors(spark)
+    key = ("deleted", os.path.abspath(sf_dir))
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    cache_root = os.environ.get("SPARK_GRAFT_INDEX_CACHE", "/tmp/searcharray_spark_idx")
+    idx_path = os.path.join(
+        cache_root, os.path.abspath(sf_dir).strip("/").replace("/", "_") + "_v3_del")
+    marker = os.path.join(idx_path, "_delete_applied")
+    if os.path.exists(os.path.join(idx_path, "meta.json")) and os.path.exists(marker):
+        idx = SearchIndex(spark, idx_path)
+    else:
+        import shutil
+        shutil.rmtree(idx_path, ignore_errors=True)
+        docs = _docs(spark, sf_dir)
+        idx = build_index(spark, docs, idx_path, doc_id_col="doc_id",
+                          tokenizer="ws", docs_per_block=1 << 14)
+        # bounded maintenance batch (the tombstone side-table path takes
+        # over past TOMBSTONE_DRIVER_MAX_ROWS, so this collect is the
+        # designed small-batch input shape)
+        ids = [r[0] for r in docs.select("doc_id")
+               .filter(F.col("doc_id") % DEL_MOD == DEL_REM).collect()]
+        idx.delete_docs(ids)
+        with open(marker, "w") as f:
+            f.write("1")
+    _INDEX_CACHE[key] = idx
+    return idx
+
+
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
@@ -237,6 +276,40 @@ def q_positions(spark, sf_dir):
         .select("doc_id", F.col("p").cast("long").alias("posn"))
 
 
+def q_delete_then_stats(spark, sf_dir):
+    """Corpus stats AFTER a maintenance delete: delete_docs patches
+    num_docs/total_tokens EXACTLY (stats_patch.json), so the handle
+    scalars must hash-match a DuckDB recount over the surviving docs."""
+    idx = _index_for_deleted(spark, sf_dir)
+    return spark.createDataFrame(
+        [(int(idx.num_docs), float(idx.total_tokens) / idx.num_docs)],
+        "num_docs long, avg_raw double",
+    ).select("num_docs", _r6(F.col("avg_raw")).alias("avg_doc_len"))
+
+
+def q_delete_then_bm25(spark, sf_dir):
+    """BM25 OR-query top-10 AFTER a maintenance delete (reference P8 →
+    scoring): tombstoned docs are excluded inside the scan kernel, live
+    df is derived from the surviving postings, and N/avgdl come from the
+    exactly-patched handle stats + tombstone-filtered docstats view.
+    Double-precision parity form as in bm25_top10."""
+    idx = _index_for_deleted(spark, sf_dir)
+    n = idx.num_docs
+    avgdl_df = idx.docstats.agg(F.avg("doc_len").alias("a"))
+    hits = idx.score_many(OR_TERMS)  # (token_idx, doc_id, tf) — live docs only
+    dfs = hits.groupBy("token_idx").agg(F.count("*").alias("df"))
+    hits = hits.join(F.broadcast(dfs), "token_idx") \
+        .join(idx.docstats.select("doc_id", "doc_len"), "doc_id") \
+        .crossJoin(F.broadcast(avgdl_df))
+    idf = F.log(F.lit(1.0) + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tfd = F.col("tf").cast("double")
+    dl = F.col("doc_len").cast("double")
+    score = idf * tfd / (tfd + F.lit(K1) * (F.lit(1 - B) + F.lit(B) * dl / F.col("a")))
+    return hits.groupBy("doc_id").agg(F.sum(score).alias("s")) \
+        .select("doc_id", _r6(F.col("s")).alias("score")) \
+        .orderBy(F.desc("s"), F.asc("doc_id")).limit(10)
+
+
 def q_bm25_filtered_top10(spark, sf_dir):
     """Filtered-corpus scoring (reference P2 row-subset views): BM25
     OR-query top-10 over docs with lang='en' only. The doc filter is a
@@ -369,6 +442,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms": q_top_terms,
         "bm25_top10": q_bm25_top10,
         "bm25_filtered_top10": q_bm25_filtered_top10,
+        "delete_then_stats": q_delete_then_stats,
+        "delete_then_bm25": q_delete_then_bm25,
         "term_freqs_pretokenized": q_term_freqs_pretokenized,
         "phrase_freqs_2": q_phrase_freqs_2,
         "phrase_freqs_3": q_phrase_freqs_3,
@@ -577,6 +652,33 @@ def oracle_sql() -> dict[str, str]:
             tf AS (SELECT t.doc_id, t.term, count(*) AS tf FROM tok t
                    JOIN documents dd ON t.doc_id = dd.doc_id AND dd.lang = 'en'
                    WHERE t.term IN ({or_in}) GROUP BY t.doc_id, t.term),
+            df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+                   WHERE term IN ({or_in}) GROUP BY term)
+            SELECT tf.doc_id,
+                   floor(sum(ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                         * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl))) * 1e6 + 0.5) / 1e6 AS score
+            FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN stats
+            GROUP BY tf.doc_id
+            ORDER BY sum(ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                     * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl))) DESC,
+                     tf.doc_id ASC LIMIT 10""",
+        "delete_then_stats": f"""
+            SELECT count(*)::BIGINT AS num_docs,
+                   floor(avg(len({_TOKS})) * 1e6 + 0.5) / 1e6 AS avg_doc_len
+            FROM documents WHERE doc_id % {DEL_MOD} <> {DEL_REM}""",
+        # bm25_top10 with the deleted docs removed from EVERY view
+        # (match set, df, N, avgdl) — the semantics delete_docs promises
+        "delete_then_bm25": f"""
+            WITH dd AS (SELECT doc_id, text FROM documents
+                        WHERE doc_id % {DEL_MOD} <> {DEL_REM}),
+            d AS (SELECT doc_id, {_TOKS} AS toks FROM dd),
+            tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+            dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+            stats AS (SELECT (SELECT count(*) FROM dd) AS n,
+                             (SELECT avg(len({_TOKS})) FROM dd) AS avgdl),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+                   WHERE term IN ({or_in}) GROUP BY doc_id, term),
             df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
                    WHERE term IN ({or_in}) GROUP BY term)
             SELECT tf.doc_id,
