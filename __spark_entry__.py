@@ -276,6 +276,56 @@ def q_positions(spark, sf_dir):
         .select("doc_id", F.col("p").cast("long").alias("posn"))
 
 
+# deterministic in-place update: every doc_id % UPD_MOD == UPD_REM gets
+# this replacement text (the oracle mirrors it with a CASE WHEN)
+UPD_MOD, UPD_REM = 11, 5
+UPD_TEXT = "spark spark updated table"
+
+
+def _index_for_updated(spark: SparkSession, sf_dir: str):
+    """Build (once) an index, then replace a deterministic doc subset via
+    the public update_docs API (reference P8 __setitem__): old content is
+    tombstoned, new content lands in an update segment that overrides the
+    base rows at query time."""
+    from searcharray_spark import SearchIndex, build_index
+
+    _ensure_pkg_on_executors(spark)
+    key = ("updated", os.path.abspath(sf_dir))
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    cache_root = os.environ.get("SPARK_GRAFT_INDEX_CACHE", "/tmp/searcharray_spark_idx")
+    idx_path = os.path.join(
+        cache_root, os.path.abspath(sf_dir).strip("/").replace("/", "_") + "_v3_upd")
+    marker = os.path.join(idx_path, "_update_applied")
+    if os.path.exists(os.path.join(idx_path, "meta.json")) and os.path.exists(marker):
+        idx = SearchIndex(spark, idx_path)
+    else:
+        import shutil
+        shutil.rmtree(idx_path, ignore_errors=True)
+        docs = _docs(spark, sf_dir)
+        idx = build_index(spark, docs, idx_path, doc_id_col="doc_id",
+                          tokenizer="ws", docs_per_block=1 << 14)
+        upd = docs.filter(F.col("doc_id") % UPD_MOD == UPD_REM) \
+            .select("doc_id", F.lit(UPD_TEXT).alias("text"))
+        idx.update_docs(upd)
+        with open(marker, "w") as f:
+            f.write("1")
+    _INDEX_CACHE[key] = idx
+    return idx
+
+
+def q_update_then_search(spark, sf_dir):
+    """Per-doc tf of TERM AFTER an in-place update of a doc subset: the
+    updated docs' old postings must be dead (tombstoned) and the update
+    segment's postings must win — plus the patched corpus stats views
+    (doc lengths) must reflect the new content."""
+    idx = _index_for_updated(spark, sf_dir)
+    tf = idx.termfreqs(TERM).select(
+        "doc_id", F.col("tf").cast("long").alias("tf"))
+    dl = idx.doclengths().select("doc_id", F.col("doc_len").cast("long").alias("doc_len"))
+    return tf.join(dl, "doc_id").select("doc_id", "tf", "doc_len")
+
+
 def q_delete_then_stats(spark, sf_dir):
     """Corpus stats AFTER a maintenance delete: delete_docs patches
     num_docs/total_tokens EXACTLY (stats_patch.json), so the handle
@@ -443,6 +493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_top10": q_bm25_top10,
         "bm25_filtered_top10": q_bm25_filtered_top10,
         "delete_then_stats": q_delete_then_stats,
+        "update_then_search": q_update_then_search,
         "delete_then_bm25": q_delete_then_bm25,
         "term_freqs_pretokenized": q_term_freqs_pretokenized,
         "phrase_freqs_2": q_phrase_freqs_2,
@@ -663,6 +714,17 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY sum(ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
                      * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl))) DESC,
                      tf.doc_id ASC LIMIT 10""",
+        "update_then_search": f"""
+            WITH dd AS (SELECT doc_id,
+                        CASE WHEN doc_id % {UPD_MOD} = {UPD_REM}
+                             THEN '{UPD_TEXT}' ELSE text END AS text
+                        FROM documents),
+            d AS (SELECT doc_id, {_TOKS} AS toks FROM dd),
+            tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+            dl AS (SELECT doc_id, len(toks)::BIGINT AS doc_len FROM d)
+            SELECT tok.doc_id, count(*)::BIGINT AS tf, any_value(dl.doc_len) AS doc_len
+            FROM tok JOIN dl ON tok.doc_id = dl.doc_id
+            WHERE term = '{TERM}' GROUP BY tok.doc_id""",
         "delete_then_stats": f"""
             SELECT count(*)::BIGINT AS num_docs,
                    floor(avg(len({_TOKS})) * 1e6 + 0.5) / 1e6 AS avg_doc_len
