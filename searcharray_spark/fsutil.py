@@ -107,6 +107,7 @@ def write_json_atomic(path: str, obj) -> None:
     best-effort on object stores, where the read path tolerates a
     missing/stale file by re-deriving)."""
     f, p = resolve(path)
+    f.create_dir(posixpath.dirname(p), recursive=True)
     tmp = p + ".tmp"
     with f.open_output_stream(tmp) as fh:
         fh.write(json.dumps(obj).encode("utf-8"))

@@ -349,9 +349,18 @@ def _normalize_token(token: TokenArg) -> List[str]:
 class SearchIndex:
     """Handle to a built index (see indexing.build_index for the layout)."""
 
-    def __init__(self, spark: SparkSession, path: str, tokenizer=None):
+    def __init__(self, spark: SparkSession, path: str, tokenizer=None,
+                 as_of: Optional[int] = None):
         self.spark = spark
         self.path = path
+        # Iceberg-style snapshot read: every delete_docs/update_docs call
+        # is an integer epoch (a commit); as_of=E serves the index exactly
+        # as it stood after epoch E (as_of=0 = as built). Snapshot handles
+        # are read-only; compaction expires history (like Iceberg snapshot
+        # expiry) — as_of on a compacted index sees the compacted base.
+        self.as_of = int(as_of) if as_of is not None else None
+        if self.as_of is not None and self.as_of < 0:
+            raise ValueError(f"as_of must be >= 0, got {as_of}")
         # Side-input kernels (DoclensReader) and driver metadata reads use
         # POSIX paths; a remote object-store index would need these routed
         # through pyarrow.fs.FileSystem.from_uri (ROADMAP). Fail fast with
@@ -375,7 +384,9 @@ class SearchIndex:
         # shape even after deletes shrink the LIVE num_docs below it
         self.capacity = int(self.meta["num_docs"])
         patch = fsutil.join(path, "stats_patch.json")
-        if fsutil.exists(patch):
+        if self.as_of is not None:
+            self._stats_need_asof = fsutil.exists(patch)
+        elif fsutil.exists(patch):
             # live corpus stats after delete/update ops (exact deltas
             # applied by _patch_stats; compact resets by writing exact
             # stats into meta and no patch file)
@@ -398,6 +409,8 @@ class SearchIndex:
         self._dl_ranges: list | None = None
         self._postings_df: DataFrame | None = None
         self._doclens_df: DataFrame | None = None
+        if self.as_of is not None and getattr(self, "_stats_need_asof", False):
+            self._apply_asof_stats()
 
     def cache(self) -> "SearchIndex":
         """Persist the postings + doclens tables in executor memory —
@@ -424,8 +437,11 @@ class SearchIndex:
 
     def _update_segs(self) -> List[int]:
         root = fsutil.join(self.path, "updates")
-        return sorted(int(d.split("=", 1)[1]) for d in fsutil.listdir(root)
+        segs = sorted(int(d.split("=", 1)[1]) for d in fsutil.listdir(root)
                       if d.startswith("seg="))
+        if self.as_of is not None:
+            segs = [s for s in segs if s <= self.as_of]
+        return segs
 
     def _next_epoch(self) -> int:
         tomb = 0
@@ -477,6 +493,9 @@ class SearchIndex:
             else:
                 # bounded driver pyarrow read, no Spark job
                 pdf = fsutil.read_parquet(tpath).to_pandas()
+                if self.as_of is not None and len(pdf):
+                    # snapshot read: only tombstones committed by epoch E
+                    pdf = pdf[pdf["seg"] <= self.as_of]
                 if len(pdf):
                     ids = pdf["doc_id"].to_numpy(dtype=np.int64)
                     segs = pdf["seg"].to_numpy(dtype=np.int64)
@@ -501,7 +520,18 @@ class SearchIndex:
     def _tombstone_reader(self, n_rows: int) -> TombstoneReader:
         """Side-table mode: (re)pack the raw tombstone log into a
         block-range-partitioned parquet table when stale (one Spark job
-        over O(deletes) rows), then hand out footer-resolved ranges."""
+        over O(deletes) rows), then hand out footer-resolved ranges.
+        Snapshot handles pack into an as_of-suffixed dir (the epoch-E
+        prefix of the log is immutable, so a present marker is fresh)."""
+        if self.as_of is not None:
+            packed = fsutil.join(self.path,
+                                 f"tombstones_packed_asof_{self.as_of}")
+            marker = fsutil.join(packed, "_rows.json")
+            if not fsutil.exists(marker):
+                self._pack_tombstones(packed, n_rows, max_seg=self.as_of)
+            ranges = [(p, lo, hi)
+                      for _, p, lo, hi in scan_doclens_ranges([(0, packed)])]
+            return TombstoneReader(ranges)
         packed = fsutil.join(self.path, "tombstones_packed")
         marker = fsutil.join(packed, "_rows.json")
         fresh = False
@@ -513,7 +543,8 @@ class SearchIndex:
                   for _, p, lo, hi in scan_doclens_ranges([(0, packed)])]
         return TombstoneReader(ranges)
 
-    def _pack_tombstones(self, packed: str, n_rows: int) -> None:
+    def _pack_tombstones(self, packed: str, n_rows: int,
+                         max_seg: Optional[int] = None) -> None:
         dpb = self.docs_per_block
 
         def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -534,7 +565,10 @@ class SearchIndex:
         n_parts = max(4, self.spark.sparkContext.defaultParallelism)
         tmp = packed + ".tmp"
         fsutil.rmtree(tmp)
-        self.spark.read.parquet(fsutil.join(self.path, "tombstones")) \
+        raw = self.spark.read.parquet(fsutil.join(self.path, "tombstones"))
+        if max_seg is not None:
+            raw = raw.filter(F.col("seg") <= max_seg)
+        raw \
             .withColumn("block_id",
                         F.floor(F.col("doc_id") / F.lit(dpb)).cast("long")) \
             .groupBy("block_id") \
@@ -556,6 +590,7 @@ class SearchIndex:
         subtracted (stats_patch.json, survives reopen). Per-term df
         corrections happen lazily at query time (_df_corrections), so
         idf stays exact between compactions."""
+        self._check_writable()
         ids = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
         if not len(ids):
             return
@@ -566,7 +601,8 @@ class SearchIndex:
         df.coalesce(1).write.mode("append").parquet(
             fsutil.join(self.path, "tombstones"))
         self._invalidate_caches()
-        self._patch_stats(-int(live.sum()), -float(lens[live].sum()))
+        self._patch_stats(-int(live.sum()), -float(lens[live].sum()),
+                          epoch=epoch, op="delete")
 
     def update_docs(self, docs: DataFrame, text_col: str = "text") -> None:
         """Replace docs in place (same doc ids): tombstone the old
@@ -577,6 +613,7 @@ class SearchIndex:
         equal to a compacted index's — no idf staleness window."""
         from .indexing import build_index
 
+        self._check_writable()
         epoch = self._next_epoch()
         ids = [int(r["doc_id"]) for r in docs.select("doc_id").collect()]
         if not ids:
@@ -600,13 +637,18 @@ class SearchIndex:
         seg_meta = self._seg_meta(epoch)
         self._patch_stats(
             int(seg_meta["num_docs"]) - int(live.sum()),
-            float(seg_meta.get("total_tokens") or 0.0) - float(lens[live].sum()))
+            float(seg_meta.get("total_tokens") or 0.0) - float(lens[live].sum()),
+            epoch=epoch, op="update")
 
-    def _patch_stats(self, delta_docs: int, delta_tokens: float) -> None:
+    def _patch_stats(self, delta_docs: int, delta_tokens: float,
+                     epoch: Optional[int] = None,
+                     op: Optional[str] = None) -> None:
         """Apply an exact corpus-stats delta and persist it atomically so
         reopened handles see the live num_docs / avg_doc_len.
         compact_index writes exact stats into meta.json and the fresh
-        index has no patch file."""
+        index has no patch file. Each mutation also appends an
+        epoch-stamped record to stats_log/ — the snapshot log that makes
+        as_of (time-travel) stats exact without a recount."""
         self.num_docs = int(self.num_docs + delta_docs)
         self.total_tokens = float(self.total_tokens + delta_tokens)
         self.avg_doc_len = (self.total_tokens / self.num_docs
@@ -615,6 +657,66 @@ class SearchIndex:
             fsutil.join(self.path, "stats_patch.json"),
             {"num_docs": self.num_docs,
              "total_tokens": self.total_tokens})
+        if epoch is not None:
+            fsutil.write_json_atomic(
+                fsutil.join(self.path, "stats_log", f"epoch_{epoch}.json"),
+                {"epoch": int(epoch), "op": op,
+                 "delta_docs": int(delta_docs),
+                 "delta_tokens": float(delta_tokens)})
+
+    def _check_writable(self) -> None:
+        if self.as_of is not None:
+            raise ValueError(
+                f"read-only snapshot handle (as_of={self.as_of}); open the "
+                "index without as_of to mutate it")
+
+    def _stats_log(self) -> List[dict]:
+        root = fsutil.join(self.path, "stats_log")
+        return sorted(
+            (fsutil.read_json(fsutil.join(root, f))
+             for f in fsutil.listdir(root)
+             if f.startswith("epoch_") and f.endswith(".json")),
+            key=lambda r: int(r["epoch"]))
+
+    def history(self) -> List[dict]:
+        """Iceberg-style snapshot log: one record per committed mutation
+        epoch ({epoch, op, delta_docs, delta_tokens}), oldest first.
+        Pass any listed epoch (or 0 for as-built) to SearchIndex(...,
+        as_of=) for a consistent time-travel read. Compaction expires
+        history, like Iceberg snapshot expiry."""
+        return self._stats_log()
+
+    def _apply_asof_stats(self) -> None:
+        """Exact corpus stats for a snapshot handle: base stats plus the
+        stats_log deltas of epochs <= as_of. If any epoch in range
+        predates the log (legacy index mutated before stats_log existed),
+        fall back to ONE bounded recount over this snapshot's own
+        doclens view — correct by construction."""
+        recs = self._stats_log()
+        known = {int(r["epoch"]) for r in recs}
+        # epochs are contiguous from 1 (each mutation takes max+1), so the
+        # newest epoch bounds the range the log must cover
+        newest = self._next_epoch() - 1
+        needed = range(1, min(self.as_of, newest) + 1)
+        if all(e in known for e in needed):
+            dd = sum(int(r["delta_docs"]) for r in recs
+                     if int(r["epoch"]) <= self.as_of)
+            dt = sum(float(r["delta_tokens"]) for r in recs
+                     if int(r["epoch"]) <= self.as_of)
+            self.num_docs = int(self.meta["num_docs"]) + dd
+            base_tt = self.meta.get("total_tokens")
+            base_tt = (float(base_tt) if base_tt is not None
+                       else float(self.meta["avg_doc_len"])
+                       * int(self.meta["num_docs"]))
+            self.total_tokens = base_tt + dt
+        else:
+            row = self.docstats.agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("doc_len").cast("double")).alias("t")).collect()[0]
+            self.num_docs = int(row["n"])
+            self.total_tokens = float(row["t"] or 0.0)
+        self.avg_doc_len = (self.total_tokens / self.num_docs
+                            if self.num_docs else 0.0)
 
     def _live_lens(self, ids: np.ndarray):
         """(live_mask, doc_len) per unique GLOBAL doc id against the
