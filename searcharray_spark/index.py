@@ -412,16 +412,40 @@ class SearchIndex:
         if self.as_of is not None and getattr(self, "_stats_need_asof", False):
             self._apply_asof_stats()
 
-    def cache(self) -> "SearchIndex":
-        """Persist the postings + doclens tables in executor memory —
-        amortizes the scan across repeated queries (the cluster-scale
-        analogue: spark.catalog.cacheTable on the index tables)."""
+    # Executor-memory cache cap for the POSTINGS table (compressed bytes
+    # on disk; deserialized batches are ~2x). Caching a multi-GB postings
+    # table is a net LOSS: hot-term queries stream hundreds of MB through
+    # Arrow per call, and a near-full heap turns that churn into GC
+    # stalls (measured at 16M docs/3.2 GB: cached phrase top-k 40 s vs
+    # 7.8 s from the parquet scan + OS page cache, with executor RPC
+    # timeouts from GC pauses). At 100 TB nobody caches the postings —
+    # you cache metadata and let the columnar scan stream. Doclens /
+    # term stats stay cacheable (small, metadata-sized).
+    POSTINGS_CACHE_MAX_BYTES = 1 << 31  # 2 GiB
+
+    def cache(self, force: bool = False) -> "SearchIndex":
+        """Persist the index tables in executor memory — amortizes the
+        scan across repeated queries (the cluster-scale analogue:
+        spark.catalog.cacheTable on the index tables). The postings
+        table is only cached below POSTINGS_CACHE_MAX_BYTES (see note
+        above) unless ``force=True``; doclens always cache."""
         posts, dls = self.postings, self.doclens
-        self._postings_df = posts.cache()
+        if force or self._postings_bytes() <= self.POSTINGS_CACHE_MAX_BYTES:
+            self._postings_df = posts.cache()
+            self._postings_df.count()
         self._doclens_df = dls.cache()
-        self._postings_df.count()
         self._doclens_df.count()
         return self
+
+    def _postings_bytes(self) -> int:
+        total = 0
+        roots = [fsutil.join(self.path, "postings")]
+        roots += [fsutil.join(self.path, "updates", f"seg={s}", "postings")
+                  for s in self._update_segs()]
+        for root in roots:
+            for _p, sz in fsutil.list_parquet_files(root):
+                total += int(sz)
+        return total
 
     # --- update segments / tombstones (reference P8 delete/replace,
     #     postings.py:360-425) ---------------------------------------------
@@ -1508,7 +1532,7 @@ class SearchIndex:
 
         def merge_packed(left: pd.DataFrame, block_id: int) -> dict:
             t_entry = tomb.get(int(block_id))
-            packed: dict = {}
+            parts: dict = {}
             for row in left.itertuples():
                 arr = K.from_bytes(row.postings)
                 if t_entry is not None:
@@ -1516,13 +1540,14 @@ class SearchIndex:
                     excl = t_entry[0][t_entry[1] > getattr(row, "seg", 0)]
                     if len(excl):
                         arr = K.exclude_keys(arr, excl)
-                prev = packed.get(row.term)
-                if prev is not None:
-                    # chunked rows: disjoint-range merge; update-segment
-                    # rows may share headers -> OR-merge unions bitmasks
-                    arr = K.or_merge(np.concatenate((prev, arr)))
-                packed[row.term] = arr
-            return packed
+                parts.setdefault(row.term, []).append(arr)
+            # ONE merge per term (hot terms arrive as many chunked rows:
+            # an iterative pairwise or_merge would re-walk the growing
+            # array per chunk — O(chunks x size)); update-segment rows
+            # may share headers, which or_merge unions
+            return {term: (arrs[0] if len(arrs) == 1
+                           else K.or_merge(np.concatenate(arrs)))
+                    for term, arrs in parts.items()}
 
         if candidates is None and self._local_query_ok():
             # driver-local fast path (gate: whole postings table tiny):

@@ -36,13 +36,19 @@ def _lens_for_ids(dl_ids, dl_lens, ids):
     return dl_lens[pos]
 
 
-def compact_index(spark: SparkSession, index_path: str, out_path: str) -> SearchIndex:
+def compact_index(spark: SparkSession, index_path: str, out_path: str,
+                  as_of: int = None) -> SearchIndex:
     """Materialize tombstones + update segments into a fresh index.
 
     Deleted docs disappear; updated docs keep their ids with the new
     content; df / tf / block-max metadata and corpus stats (num_docs,
     avg_doc_len) are recomputed exactly. The epoch resets (no
     tombstones/updates in the output).
+
+    ``as_of=E`` exports a historical snapshot instead of the live state
+    (Iceberg-style snapshot export): the rewrite sees only tombstones
+    and update segments committed by epoch E, via the snapshot handle's
+    filtered views.
 
     Fully distributed — NO O(num_docs) driver materialization: doclens
     compact as a per-block applyInPandas and are written FIRST; the
@@ -59,7 +65,7 @@ def compact_index(spark: SparkSession, index_path: str, out_path: str) -> Search
     from . import kernels as K
     from .index import DoclensReader, scan_doclens_ranges
 
-    idx = SearchIndex(spark, index_path)
+    idx = SearchIndex(spark, index_path, as_of=as_of)
     tomb = idx._tombstones()
     tomb_bc = spark.sparkContext.broadcast(tomb)
 

@@ -124,6 +124,21 @@ def test_snapshots_unaffected_by_later_mutations(mutated):
     assert tf_dense(SearchIndex(spark, path, as_of=3), "bar")[4] == 0
 
 
+def test_compact_asof_exports_snapshot(mutated, tmp_path):
+    """compact_index(as_of=1) materializes the epoch-1 state into a
+    fresh index: identical tfs and corpus stats to the snapshot handle,
+    no tombstones/updates in the output."""
+    from searcharray_spark.merge import compact_index
+
+    spark, path, _ = mutated
+    out = compact_index(spark, path, str(tmp_path / "snap1"), as_of=1)
+    snap = SearchIndex(spark, path, as_of=1)
+    for tok in ("bar", "foo", "data2"):
+        assert (tf_dense(out, tok) == tf_dense(snap, tok)).all(), tok
+    assert out.num_docs == snap.num_docs
+    assert out.history() == []  # epoch reset: exported snapshot is clean
+
+
 def test_asof_stats_fallback_without_log(mutated):
     """Legacy index (mutations predating stats_log): snapshot stats come
     from the exact recount fallback instead of the log."""
