@@ -483,6 +483,69 @@ def q_embedding_neardup(spark, sf_dir):
                                 n_planes=LSH_PLANES)
 
 
+# --- doc-major row surface (rows.py; reference P1/P3/P5/P7) --------------
+
+def _bag_sig():
+    """Canonical 'term:tf term:tf ...' signature of a doc's sorted bag —
+    the portable stand-in for nested-struct hashing in the gate."""
+    return F.array_join(
+        F.transform("tfs", lambda e: F.concat_ws(":", e["term"], e["tf"])),
+        " ")
+
+
+def q_doc_term_matrix(spark, sf_dir):
+    """Full doc-major (doc_id, term, tf) derivation (SURVEY A5 'derive
+    on demand', reference doc->termset views)."""
+    idx = _index_for(spark, sf_dir)
+    return idx.doc_termfreqs().select("doc_id", "term", "tf")
+
+
+ROW_VIEW_DOC = 7
+
+
+def q_doc_row_view(spark, sf_dir):
+    """One doc materialized as a Terms scalar (reference
+    __getitem__(int), P1): tf + decoded positions per term."""
+    idx = _index_for(spark, sf_dir)
+    t = idx.doc(ROW_VIEW_DOC)
+    rows = [(term, int(tf), ",".join(str(int(p)) for p in t.posns[term]))
+            for term, tf in sorted(t.postings.items())]
+    return spark.createDataFrame(rows, "term string, tf long, posns_sig string")
+
+
+TAKE_IDS = [5, 3, 123456789, 10, 3]  # out-of-range id exercises the fill
+
+
+def q_take_rows(spark, sf_dir):
+    """take() with pandas fill semantics (reference take, P3): missing
+    rows land as the empty Terms."""
+    idx = _index_for(spark, sf_dir)
+    got = idx.take(TAKE_IDS, allow_fill=True)
+    rows = [(i, len(t), int(t.doc_len),
+             " ".join(f"{k}:{v}" for k, v in sorted(t.postings.items())))
+            for i, t in enumerate(got)]
+    return spark.createDataFrame(
+        rows, "ord long, n_terms long, doc_len long, sig string")
+
+
+def q_value_counts(spark, sf_dir):
+    """Docs grouped by identical (bag, doc_len) (reference value_counts,
+    P7)."""
+    idx = _index_for(spark, sf_dir)
+    return idx.value_counts().select(
+        _bag_sig().alias("sig"), "doc_len",
+        F.col("count").cast("long").alias("cnt"))
+
+
+def q_rowwise_eq(spark, sf_dir):
+    """Elementwise doc equality (reference __eq__, P5): the base index
+    vs the in-place-updated one — eq must flip exactly where update_docs
+    replaced content."""
+    base = _index_for(spark, sf_dir)
+    upd = _index_for_updated(spark, sf_dir)
+    return base.rowwise_eq(upd).select("doc_id", "eq")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "term_freqs": q_term_freqs,
@@ -504,6 +567,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edismax_top10": q_edismax_top10,
         "minmax_window_tf": q_minmax_window_tf,
         "positions": q_positions,
+        "doc_term_matrix": q_doc_term_matrix,
+        "doc_row_view": q_doc_row_view,
+        "take_rows": q_take_rows,
+        "value_counts": q_value_counts,
+        "rowwise_eq": q_rowwise_eq,
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
@@ -788,6 +856,62 @@ def oracle_sql() -> dict[str, str]:
             WHERE term = '{TERM}' AND posn BETWEEN 0 AND 17 GROUP BY doc_id""",
         "positions": _TOK_CTE + f"""
             SELECT doc_id, posn::BIGINT AS posn FROM tok WHERE term = '{TERM}'""",
+        "doc_term_matrix": _TOK_CTE + """
+            SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+            GROUP BY doc_id, term""",
+        "doc_row_view": _TOK_CTE + f"""
+            SELECT term, count(*)::BIGINT AS tf,
+                   string_agg(posn::VARCHAR, ',' ORDER BY posn) AS posns_sig
+            FROM tok WHERE doc_id = {ROW_VIEW_DOC} GROUP BY term""",
+        "take_rows": _TOK_CTE + f""",
+            cnt AS (SELECT doc_id, term, count(*) AS tf FROM tok
+                    GROUP BY doc_id, term),
+            bag AS (SELECT doc_id, count(*)::BIGINT AS n_terms,
+                           sum(tf)::BIGINT AS doc_len,
+                           string_agg(term || ':' || tf, ' ' ORDER BY term) AS sig
+                    FROM cnt GROUP BY doc_id),
+            want(ord, doc_id) AS (VALUES {", ".join(f"({i}, {d})" for i, d in enumerate(TAKE_IDS))})
+            SELECT want.ord::BIGINT AS ord,
+                   coalesce(bag.n_terms, 0)::BIGINT AS n_terms,
+                   coalesce(bag.doc_len, 0)::BIGINT AS doc_len,
+                   coalesce(bag.sig, '') AS sig
+            FROM want LEFT JOIN bag USING (doc_id)""",
+        # dropna mirror: the empty doc (no tokens AND doc_len 0) is
+        # dropped, reference value_counts' counts.pop(Terms({}))
+        "value_counts": _TOK_CTE + """,
+            cnt AS (SELECT doc_id, term, count(*) AS tf FROM tok
+                    GROUP BY doc_id, term),
+            bag AS (SELECT d.doc_id,
+                           coalesce(string_agg(term || ':' || tf, ' ' ORDER BY term), '') AS sig,
+                           coalesce(sum(tf), 0)::BIGINT AS doc_len
+                    FROM d LEFT JOIN cnt ON d.doc_id = cnt.doc_id
+                    GROUP BY d.doc_id)
+            SELECT sig, doc_len, count(*)::BIGINT AS cnt FROM bag
+            WHERE NOT (sig = '' AND doc_len = 0)
+            GROUP BY sig, doc_len""",
+        # per-doc bag equality of original vs updated corpus — exactly
+        # what rowwise_eq(base, updated) must report
+        "rowwise_eq": f"""
+            WITH u AS (SELECT doc_id,
+                       CASE WHEN doc_id % {UPD_MOD} = {UPD_REM}
+                            THEN '{UPD_TEXT}' ELSE text END AS text
+                       FROM documents),
+            a_cnt AS (SELECT doc_id, term, count(*) AS tf
+                      FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+                      GROUP BY doc_id, term),
+            b_cnt AS (SELECT doc_id, term, count(*) AS tf
+                      FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM u)
+                      GROUP BY doc_id, term),
+            a_bag AS (SELECT doc_id,
+                             coalesce(string_agg(term || ':' || tf, ' ' ORDER BY term), '') AS sig,
+                             coalesce(sum(tf), 0) AS dl
+                      FROM documents LEFT JOIN a_cnt USING (doc_id) GROUP BY doc_id),
+            b_bag AS (SELECT doc_id,
+                             coalesce(string_agg(term || ':' || tf, ' ' ORDER BY term), '') AS sig,
+                             coalesce(sum(tf), 0) AS dl
+                      FROM u LEFT JOIN b_cnt USING (doc_id) GROUP BY doc_id)
+            SELECT doc_id, (a_bag.sig = b_bag.sig AND a_bag.dl = b_bag.dl) AS eq
+            FROM a_bag JOIN b_bag USING (doc_id)""",
         "token_stats": f"""
             WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
             SELECT doc_id, len(toks)::BIGINT AS n_tokens,

@@ -9,6 +9,7 @@ Lucene-identical BM25 scoring.
 from .indexing import assign_doc_ids, build_index
 from .index import SearchIndex
 from .merge import compact_index, merge_indexes
+from .rows import Terms
 from .similarity import (
     bm25_impact,
     bm25_legacy_similarity,
@@ -29,6 +30,7 @@ __all__ = [
     "SearchIndex",
     "merge_indexes",
     "compact_index",
+    "Terms",
     "bm25_similarity",
     "bm25_legacy_similarity",
     "bm25_impact",

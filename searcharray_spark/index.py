@@ -2099,6 +2099,50 @@ class SearchIndex:
         report["total_bytes"] = sum(report["tables"].values())
         return report
 
+    # --- doc-major row surface (rows.py; reference P1/P3/P5/P7) ----------
+    def doc_termfreqs(self, doc_ids=None) -> DataFrame:
+        """(doc_id, term, tf) derived on demand from the term-major
+        postings (SURVEY A5 'derive on demand')."""
+        from . import rows as R
+        return R.doc_termfreqs(self, doc_ids)
+
+    def doc_terms(self, doc_ids=None) -> DataFrame:
+        """(doc_id, tfs sorted array<struct<term,tf>>, doc_len)."""
+        from . import rows as R
+        return R.doc_terms(self, doc_ids)
+
+    def doc(self, doc_id: int):
+        """One doc as a Terms scalar (reference __getitem__(int), P1)."""
+        from . import rows as R
+        return R.doc(self, doc_id)
+
+    def __getitem__(self, doc_id: int):
+        from . import rows as R
+        return R.doc(self, int(doc_id))
+
+    def take(self, indices, allow_fill: bool = False, fill_value=None):
+        """Row-take with fill (reference take, P3) -> list[Terms]."""
+        from . import rows as R
+        return R.take(self, indices, allow_fill=allow_fill,
+                      fill_value=fill_value)
+
+    def value_counts(self, dropna: bool = True) -> DataFrame:
+        """Docs grouped by identical (tfs, doc_len) bag (reference
+        value_counts, P7)."""
+        from . import rows as R
+        return R.value_counts(self, dropna=dropna)
+
+    def unique_docs(self) -> DataFrame:
+        """Distinct (tfs, doc_len) bags (reference unique, P7)."""
+        from . import rows as R
+        return R.unique_docs(self)
+
+    def rowwise_eq(self, other: "SearchIndex") -> DataFrame:
+        """(doc_id, eq) vs another index (reference elementwise __eq__,
+        P5)."""
+        from . import rows as R
+        return R.rowwise_eq(self, other)
+
     # --- dense helpers (test parity at small scale only) ------------------
     def termfreqs_dense(self, token: TokenArg, **kw) -> np.ndarray:
         rows = self.termfreqs(token, **kw).collect()
