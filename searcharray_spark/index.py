@@ -882,6 +882,9 @@ class SearchIndex:
         self._bounds_cache = {}
         self._dl_ranges = None
         self._aligned = None
+        rc = getattr(self, "_result_cache", None)
+        if rc is not None:  # stays enabled; memoized frames are stale
+            rc.clear()
 
     def _seg_meta(self, seg: int) -> dict:
         return fsutil.read_json(fsutil.join(
@@ -1730,19 +1733,84 @@ class SearchIndex:
                             "score": sc[order]})
         return _local_df(self.spark, out, TOPK_SCHEMA)
 
+    # --- opt-in result memoization (ROADMAP §2: repeated-query floor) ----
+    def enable_result_cache(self, max_entries: int = 256) -> "SearchIndex":
+        """Memoize finished top-k result frames per (index state, query).
+
+        Opt-in because it changes laziness: a miss executes the query and
+        holds its k-bounded rows driver-side; a hit answers from a
+        LocalRelation with ZERO Spark jobs. Soundness: any mutation
+        (delete/update/append) runs _invalidate_caches, which clears this
+        cache, and unhashable keys (custom similarity objects without
+        __hash__, candidate frames) bypass it. Benchmarks never enable
+        it — every recorded latency is uncached."""
+        from collections import OrderedDict
+        self._result_cache = OrderedDict()
+        self._result_cache_max = int(max_entries)
+        return self
+
+    def disable_result_cache(self) -> None:
+        self._result_cache = None
+
+    def _result_key(self, kind: str, parts: tuple):
+        if getattr(self, "_result_cache", None) is None:
+            return None
+        key = (kind,) + parts
+        try:
+            hash(key)
+        except TypeError:  # e.g. unhashable custom similarity
+            return None
+        return key
+
+    def _result_get(self, key) -> Optional[DataFrame]:
+        cache = getattr(self, "_result_cache", None)
+        if cache is None or key is None:
+            return None
+        pdf = cache.get(key)
+        if pdf is None:
+            return None
+        cache.move_to_end(key)
+        out = _local_df(self.spark, pdf.copy(), TOPK_SCHEMA)
+        out._result_cache_hit = True
+        return out
+
+    def _result_put(self, key, df: DataFrame) -> DataFrame:
+        cache = getattr(self, "_result_cache", None)
+        if cache is None or key is None:
+            return df
+        rows = df.collect()
+        pdf = pd.DataFrame(
+            {"doc_id": np.asarray([r["doc_id"] for r in rows], dtype=np.int64),
+             "score": np.asarray([r["score"] for r in rows], dtype=np.float32)})
+        cache[key] = pdf
+        while len(cache) > self._result_cache_max:
+            cache.popitem(last=False)
+        out = _local_df(self.spark, pdf.copy(), TOPK_SCHEMA)
+        out._result_cache_hit = False
+        return out
+
     def top_k(self, token: TokenArg, k: int = 10, similarity=None,
               slop: int = 0, candidates: Optional[DataFrame] = None) -> DataFrame:
         """Global top-k by score (ties broken by doc_id): distributed
         per-partition top-k then driver merge (TakeOrderedAndProject);
         driver-local sort on small indexes (zero Spark jobs)."""
         toks = _normalize_token(token)
+        key = None
+        if candidates is None:
+            key = self._result_key(
+                "top_k", (tuple(toks), int(k), int(slop), similarity))
+            hit = self._result_get(key)
+            if hit is not None:
+                return hit
         pdf = self._local_hits_pdf([toks], similarity=similarity,
                                    slop=slop, candidates=candidates)
         if pdf is not None:
-            return self._local_topk_df(pdf, k)
-        return self.score(token, similarity=similarity, slop=slop,
-                          candidates=candidates) \
-            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+            return self._result_put(key, self._local_topk_df(pdf, k))
+        return self._result_put(
+            key,
+            self.score(token, similarity=similarity, slop=slop,
+                       candidates=candidates)
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
 
     # relative safety margin on block upper bounds: the kernel computes
     # scores in float32; bounds are float64-of-float32-inputs, so pad by
@@ -1839,6 +1907,26 @@ class SearchIndex:
         ``monotone_bounds`` flag (set it yourself if yours qualifies) is
         scored exhaustively instead — same ranks, no unsound skips.
         """
+        rk = None
+        if getattr(self, "_result_cache", None) is not None:
+            norm = (tokens if isinstance(tokens, str)
+                    else tuple(t if isinstance(t, str) else tuple(t)
+                               for t in tokens))
+            rk = self._result_key("top_k_pruned", (norm, int(k), similarity))
+            hit = self._result_get(rk)
+            if hit is not None:
+                hit._wand_blocks_scanned = -2  # answered from result cache
+                hit._wand_blocks_total = -2
+                return hit
+            out = self._top_k_pruned_impl(tokens, k=k, similarity=similarity)
+            cached = self._result_put(rk, out)
+            cached._wand_blocks_scanned = getattr(out, "_wand_blocks_scanned", -1)
+            cached._wand_blocks_total = getattr(out, "_wand_blocks_total", -1)
+            return cached
+        return self._top_k_pruned_impl(tokens, k=k, similarity=similarity)
+
+    def _top_k_pruned_impl(self, tokens, k: int = 10,
+                           similarity=None) -> DataFrame:
         if isinstance(tokens, str):
             tokens_list = [[tokens]]
         else:
