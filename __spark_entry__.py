@@ -537,6 +537,23 @@ def q_value_counts(spark, sf_dir):
         F.col("count").cast("long").alias("cnt"))
 
 
+def q_snapshot_read(spark, sf_dir):
+    """Iceberg-style time travel: a read-only handle opened as of epoch 0
+    (as-built) on an index that was LATER mass-deleted must serve the
+    ORIGINAL corpus exactly — per-doc tf over the full match set AND the
+    historical corpus stats (epoch-stamped stats log)."""
+    from searcharray_spark import SearchIndex
+    idx_del = _index_for_deleted(spark, sf_dir)  # ensures deletes exist
+    snap = SearchIndex(spark, idx_del.path, as_of=0)
+    tf = snap.termfreqs(TERM).select(
+        "doc_id", F.col("tf").cast("long").alias("tf"))
+    stats = spark.createDataFrame(
+        [(int(snap.num_docs), float(snap.total_tokens) / snap.num_docs)],
+        "num_docs long, avg_raw double").select(
+        "num_docs", _r6(F.col("avg_raw")).alias("avg_doc_len"))
+    return tf.crossJoin(F.broadcast(stats))
+
+
 def q_rowwise_eq(spark, sf_dir):
     """Elementwise doc equality (reference __eq__, P5): the base index
     vs the in-place-updated one — eq must flip exactly where update_docs
@@ -572,6 +589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "take_rows": q_take_rows,
         "value_counts": q_value_counts,
         "rowwise_eq": q_rowwise_eq,
+        "snapshot_read": q_snapshot_read,
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
@@ -889,6 +907,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT sig, doc_len, count(*)::BIGINT AS cnt FROM bag
             WHERE NOT (sig = '' AND doc_len = 0)
             GROUP BY sig, doc_len""",
+        # the as-built snapshot of a later-deleted index == the plain
+        # original corpus (match set + historical stats)
+        "snapshot_read": _TOK_CTE + f""",
+            tf AS (SELECT doc_id, count(*)::BIGINT AS tf FROM tok
+                   WHERE term = '{TERM}' GROUP BY doc_id),
+            stats AS (SELECT count(*)::BIGINT AS num_docs,
+                             floor(avg(len({_TOKS})) * 1e6 + 0.5) / 1e6 AS avg_doc_len
+                      FROM documents)
+            SELECT doc_id, tf, num_docs, avg_doc_len
+            FROM tf CROSS JOIN stats""",
         # per-doc bag equality of original vs updated corpus — exactly
         # what rowwise_eq(base, updated) must report
         "rowwise_eq": f"""
