@@ -186,67 +186,153 @@ def _local_block_rows(idx, blocks: Optional[set]) -> dict:
     return by_block
 
 
-def doc_termfreqs(idx, doc_ids: Optional[Sequence[int]] = None) -> DataFrame:
-    """(doc_id, term, tf) over live docs — the on-demand doc-major
-    derivation (SURVEY A5). One applyInPandas pass per block running the
-    scoring path's merge + termfreqs kernels; ``doc_ids`` (optional)
-    restricts to those docs and prunes to their blocks."""
+def _run_block_kernel(idx, per_block, schema, want: Optional[np.ndarray],
+                      empty_pdf) -> DataFrame:
+    """Run ``per_block(block_id, merged) -> iter[pd.DataFrame]`` over
+    every (pruned) block, picking the cheapest sound execution shape:
+
+    - driver-local (zero Spark jobs) on tiny cached indexes;
+    - zero-shuffle mapInPandas when postings files are scan-aligned
+      (one parquet row group per file, verified at build): a scan task
+      holds whole blocks, so the block merge needs NO exchange — the
+      property that makes a full doc-major derivation feasible at
+      100 TB (shuffling the entire postings table is the thing to
+      avoid);
+    - groupBy(block_id).applyInPandas fallback (one exchange) otherwise.
+    """
     dpb = idx.docs_per_block
-    want = None
-    if doc_ids is not None:
-        want = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
     tomb = idx._tombstones()
+
+    def want_local(b: int):
+        if want is None:
+            return None
+        base = b * dpb
+        return want[(want >= base) & (want < base + dpb)] - base
 
     if idx._local_query_ok():
         blocks = ({int(d) // dpb for d in want} if want is not None else None)
         outs = []
         for b, rows in sorted(_local_block_rows(idx, blocks).items()):
-            wl = None
-            if want is not None:
-                base = b * dpb
-                wl = want[(want >= base) & (want < base + dpb)] - base
-            merged = _merge_rows(rows, tomb.get(b) if tomb else None, wl)
-            outs.extend(_block_termfreq_frames(b, merged, dpb))
-        pdf = (pd.concat(outs, ignore_index=True) if outs
-               else pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                                  "term": pd.Series([], dtype="object"),
-                                  "tf": pd.Series([], dtype="int64")}))
+            merged = _merge_rows(rows, tomb.get(b) if tomb else None,
+                                 want_local(b))
+            outs.extend(per_block(b, merged))
+        pdf = pd.concat(outs, ignore_index=True) if outs else empty_pdf()
         from .index import _local_df
-        return _local_df(idx.spark, pdf, DOC_TERMFREQS_SCHEMA)
+        return _local_df(idx.spark, pdf, schema)
 
     tomb_bc = idx.spark.sparkContext.broadcast(tomb) if tomb else None
 
-    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        b = int(key[0])
-        wl = None
-        if want is not None:
-            base = b * dpb
-            wl = want[(want >= base) & (want < base + dpb)] - base
-            if not len(wl):
-                return pd.DataFrame(columns=["doc_id", "term", "tf"])
+    def run_one(b: int, pdf: pd.DataFrame):
+        wl = want_local(b)
+        if wl is not None and not len(wl):
+            return
         rows = list(zip(pdf["term"], pdf["postings"], pdf["seg"]))
         merged = _merge_rows(
             rows, tomb_bc.value.get(b) if tomb_bc is not None else None, wl)
-        outs = list(_block_termfreq_frames(b, merged, dpb))
-        if not outs:
-            return pd.DataFrame(columns=["doc_id", "term", "tf"])
-        return pd.concat(outs, ignore_index=True)
+        yield from per_block(b, merged)
 
     posts = idx.postings
     if want is not None:
         blocks = sorted({int(d) // dpb for d in want})
         posts = posts.filter(F.col("block_id").isin(blocks))
-    return posts.groupBy("block_id").applyInPandas(kernel,
-                                                   DOC_TERMFREQS_SCHEMA)
+    posts = posts.select("term", "block_id", "postings", "seg")
+
+    if idx._files_aligned():
+        def map_kernel(it):
+            batches = [pdf for pdf in it if len(pdf)]
+            if not batches:
+                return
+            pdf = pd.concat(batches) if len(batches) > 1 else batches[0]
+            for b, grp in pdf.groupby("block_id"):
+                yield from run_one(int(b), grp)
+
+        return posts.mapInPandas(map_kernel, schema)
+
+    def grouped(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        outs = list(run_one(int(key[0]), pdf))
+        return pd.concat(outs, ignore_index=True) if outs else empty_pdf()
+
+    return posts.groupBy("block_id").applyInPandas(grouped, schema)
+
+
+def _empty_tf_pdf() -> pd.DataFrame:
+    return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                         "term": pd.Series([], dtype="object"),
+                         "tf": pd.Series([], dtype="int64")})
+
+
+def doc_termfreqs(idx, doc_ids: Optional[Sequence[int]] = None) -> DataFrame:
+    """(doc_id, term, tf) over live docs — the on-demand doc-major
+    derivation (SURVEY A5), via the scoring path's merge + termfreqs
+    kernels per block. Zero-shuffle on scan-aligned postings files;
+    ``doc_ids`` (optional) restricts to those docs and prunes to their
+    blocks."""
+    want = None
+    if doc_ids is not None:
+        want = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+    dpb = idx.docs_per_block
+    return _run_block_kernel(
+        idx, lambda b, merged: _block_termfreq_frames(b, merged, dpb),
+        DOC_TERMFREQS_SCHEMA, want, _empty_tf_pdf)
+
+
+DOC_BAGS_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("tfs", ArrayType(StructType([
+        StructField("term", StringType()),
+        StructField("tf", LongType()),
+    ]))),
+])
+
+
+def _block_bag_frames(block_id: int, merged: dict, dpb: int):
+    """Assemble each doc's sorted bag INSIDE the block kernel — map-side
+    combine: only O(docs) bag rows (not O(postings) term rows) ever
+    leave the scan task."""
+    base = int(block_id) * dpb
+    id_parts, term_parts, tf_parts = [], [], []
+    for term in sorted(merged):
+        ids, tfs = K.termfreqs(merged[term])
+        if len(ids):
+            id_parts.append(ids)
+            term_parts.extend([term] * len(ids))
+            tf_parts.append(tfs)
+    if not id_parts:
+        return
+    ids = np.concatenate(id_parts)
+    tfs = np.concatenate(tf_parts)
+    terms = np.asarray(term_parts, dtype=object)
+    order = np.argsort(ids, kind="stable")  # stable: keeps term order
+    ids, tfs, terms = ids[order], tfs[order], terms[order]
+    starts = np.concatenate(
+        ([0], np.flatnonzero(np.diff(ids)) + 1, [len(ids)]))
+    yield pd.DataFrame({
+        "doc_id": ids[starts[:-1]] + base,
+        "tfs": [[{"term": str(t), "tf": int(f)}
+                 for t, f in zip(terms[s:e], tfs[s:e])]
+                for s, e in zip(starts[:-1], starts[1:])],
+    })
 
 
 def doc_terms(idx, doc_ids: Optional[Sequence[int]] = None) -> DataFrame:
     """(doc_id, tfs, doc_len): each live doc's canonical bag — ``tfs``
     is a SORTED array<struct<term,tf>> (Spark's comparable/groupable
     stand-in for a map), ``doc_len`` the live token count. Docs with no
-    postings (empty text) appear with an empty array."""
-    bags = doc_termfreqs(idx, doc_ids).groupBy("doc_id").agg(
-        F.array_sort(F.collect_list(F.struct("term", "tf"))).alias("tfs"))
+    postings (empty text) appear with an empty array. Bags are built
+    in-kernel (zero-shuffle on aligned files); only the O(num_docs)
+    doc_len join shuffles."""
+    want = None
+    if doc_ids is not None:
+        want = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+    dpb = idx.docs_per_block
+
+    def empty_bags() -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "tfs": pd.Series([], dtype="object")})
+
+    bags = _run_block_kernel(
+        idx, lambda b, merged: _block_bag_frames(b, merged, dpb),
+        DOC_BAGS_SCHEMA, want, empty_bags)
     stats = idx.docstats.select(
         "doc_id", F.col("doc_len").cast("long").alias("doc_len"))
     if doc_ids is not None:
@@ -263,45 +349,26 @@ def _doc_rows(idx, ids: np.ndarray) -> Dict[int, Terms]:
     if not len(ids):
         return {}
     dpb = idx.docs_per_block
-    blocks = {int(d) // dpb for d in ids}
-    tomb = idx._tombstones()
 
-    def want_local(b: int) -> np.ndarray:
-        base = b * dpb
-        return ids[(ids >= base) & (ids < base + dpb)] - base
+    def per_block(b: int, merged: dict):
+        for pdf in _block_posn_frames(b, merged, dpb):
+            pdf["posns"] = [p.tolist() for p in pdf["posns"]]
+            yield pdf
 
+    def empty_rows() -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "term": pd.Series([], dtype="object"),
+                             "posns": pd.Series([], dtype="object")})
+
+    collected = _run_block_kernel(idx, per_block, DOC_ROWS_SCHEMA,
+                                  ids, empty_rows).collect()
     frames: List[pd.DataFrame] = []
-    if idx._local_query_ok():
-        for b, rows in _local_block_rows(idx, blocks).items():
-            merged = _merge_rows(rows, tomb.get(b) if tomb else None,
-                                 want_local(b))
-            frames.extend(_block_posn_frames(b, merged, dpb))
-    else:
-        tomb_bc = idx.spark.sparkContext.broadcast(tomb) if tomb else None
-
-        def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
-            b = int(key[0])
-            rows = list(zip(pdf["term"], pdf["postings"], pdf["seg"]))
-            merged = _merge_rows(
-                rows, tomb_bc.value.get(b) if tomb_bc is not None else None,
-                want_local(b))
-            outs = list(_block_posn_frames(b, merged, dpb))
-            if not outs:
-                return pd.DataFrame(columns=["doc_id", "term", "posns"])
-            out = pd.concat(outs, ignore_index=True)
-            out["posns"] = [p.tolist() for p in out["posns"]]
-            return out
-
-        posts = idx.postings.filter(
-            F.col("block_id").isin(sorted(blocks)))
-        collected = posts.groupBy("block_id").applyInPandas(
-            kernel, DOC_ROWS_SCHEMA).collect()
-        if collected:
-            frames.append(pd.DataFrame(
-                {"doc_id": [r["doc_id"] for r in collected],
-                 "term": [r["term"] for r in collected],
-                 "posns": [np.asarray(r["posns"], dtype=np.int32)
-                           for r in collected]}))
+    if collected:
+        frames.append(pd.DataFrame(
+            {"doc_id": [r["doc_id"] for r in collected],
+             "term": [r["term"] for r in collected],
+             "posns": [np.asarray(r["posns"], dtype=np.int32)
+                       for r in collected]}))
 
     live, lens = idx._live_lens(ids)
     out: Dict[int, Terms] = {}

@@ -112,6 +112,18 @@ def test_doc_terms_includes_empty_doc(surface_index):
     assert r0["doc_len"] == 4
 
 
+def test_doc_major_zero_shuffle_when_aligned(rows_index, monkeypatch):
+    """The 100 TB shape: a full doc-major derivation must not shuffle
+    the postings table when files are scan-aligned (whole blocks per
+    scan task); doc bags combine map-side."""
+    monkeypatch.setattr(SearchIndex, "LOCAL_QUERY_MAX_DOCS", -1)
+    monkeypatch.setattr(rows_index, "_local_ok", None, raising=False)
+    assert rows_index._files_aligned()
+    plan = rows_index.doc_termfreqs() \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 # --- P1 row view ----------------------------------------------------------
 
 def test_doc_row_view(surface_index):
