@@ -109,12 +109,18 @@ class Terms:
         return False
 
     def __le__(self, other) -> bool:
+        if not isinstance(other, Terms):
+            return NotImplemented
         return self < other or self == other
 
     def __gt__(self, other) -> bool:
+        if not isinstance(other, Terms):
+            return NotImplemented
         return not (self < other) and self != other
 
     def __ge__(self, other) -> bool:
+        if not isinstance(other, Terms):
+            return NotImplemented
         return not (self < other)
 
     def __hash__(self) -> int:
