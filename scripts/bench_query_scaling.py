@@ -169,7 +169,10 @@ def main():
         "n_docs": n_docs,
         # headline numbers are BEST-OF-N interleaved windows per level
         # (anti-CPU-steal protocol); every raw window is disclosed below
-        "protocol": f"best-of-{windows} interleaved windows",
+        "protocol": (f"best-of-{windows} interleaved windows"
+                     + (", cores hard-pinned per level (taskset)" if pin
+                        else "")),
+        "pinned_cores": bool(pin),
         f"local{small_n}": small,
         f"local{large_n}": large,
         "windows_raw": {f"local{c}": v for c, v in raw.items()},
