@@ -99,6 +99,15 @@ def main():
         ensure_corpus(n_docs)
         shutil.rmtree(idx_path, ignore_errors=True)
         root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        # build with the engine's DATA-sized layout default (~64 MB
+        # postings files): overriding term_partitions with the core
+        # count produced 8 x 400 MB single-row-group files at 16M docs,
+        # capping every query scan at 8 coarse tasks — a layout bug in
+        # the harness, not the engine. Build core count is NOT part of
+        # the serving protocol (index bytes are parallelism-independent;
+        # build scaling is evidenced separately in bench_scaling.py), so
+        # build at full width for wall-clock.
+        build_cpus = int(os.environ.get("BENCH_BUILD_CPUS", "32"))
         code = (
             "import sys, time\n"
             "sys.path.insert(0, %r)\n"
@@ -109,12 +118,12 @@ def main():
             "corpus = spark.read.parquet(%r)\n"
             "t0 = time.time()\n"
             "build_index(spark, corpus, %r, doc_id_col='doc_id',"
-            " tokenizer='ws', docs_per_block=%d, term_partitions=%d)\n"
+            " tokenizer='ws', docs_per_block=%d)\n"
             "print('built %d docs in %%.1fs' %% (time.time()-t0),"
             " file=sys.stderr)\n"
             "spark.stop()\n"
-            % (root, large_n, large_n, CORPUS, idx_path,
-               max(1024, n_docs // 128), large_n, n_docs))
+            % (root, build_cpus, build_cpus, CORPUS, idx_path,
+               max(1024, n_docs // 128), n_docs))
         subprocess.run([sys.executable, "-c", code], check=True,
                        timeout=7200)
 
