@@ -412,25 +412,50 @@ class SearchIndex:
         if self.as_of is not None and getattr(self, "_stats_need_asof", False):
             self._apply_asof_stats()
 
-    # Executor-memory cache cap for the POSTINGS table (compressed bytes
-    # on disk; deserialized batches are ~2x). Caching a multi-GB postings
-    # table is a net LOSS: hot-term queries stream hundreds of MB through
-    # Arrow per call, and a near-full heap turns that churn into GC
-    # stalls (measured at 16M docs/3.2 GB: cached phrase top-k 40 s vs
-    # 7.8 s from the parquet scan + OS page cache, with executor RPC
-    # timeouts from GC pauses). At 100 TB nobody caches the postings —
-    # you cache metadata and let the columnar scan stream. Doclens /
-    # term stats stay cacheable (small, metadata-sized).
-    POSTINGS_CACHE_MAX_BYTES = 1 << 31  # 2 GiB
+    # Cache-gate for the POSTINGS table. Postings cache only when their
+    # estimated in-memory size fits comfortably inside the cluster's
+    # measured storage budget — at 100 TB nobody caches the postings
+    # (you cache metadata and let the columnar scan stream), and an
+    # oversized cache starves execution memory. An earlier fixed 2 GiB
+    # cap came from a 16M-doc measurement (cached phrase top-k 40 s vs
+    # 7.8 s uncached, GC stalls) that turned out to be an artifact of a
+    # coarse 8 x 400 MB single-row-group layout: re-measured on the
+    # data-sized ~64 MB layout (pinned local[8], 16M docs / 3.2 GB),
+    # force-cached postings are 2.5x FASTER on hot single-term scans
+    # (term_hot 5.7 -> 2.3 s) and within noise everywhere else. Doclens
+    # / term stats always cache (small, metadata-sized).
+    POSTINGS_CACHE_MAX_BYTES = 1 << 31  # fallback when capacity unknown
+    CACHE_EXPANSION = 3  # deserialized columnar vs zstd parquet (~2x + margin)
+    CACHE_STORAGE_FRACTION = 0.5  # leave half the unified region to execution
+
+    def _storage_capacity_bytes(self) -> int:
+        """Total BlockManager storage capacity across live executors
+        (driver only, in local mode). 0 when unavailable."""
+        try:
+            status = self.spark.sparkContext._jsc.sc().getExecutorMemoryStatus()
+            it = status.iterator()
+            total = 0
+            while it.hasNext():
+                total += int(it.next()._2()._1())
+            return total
+        except Exception:
+            return 0
+
+    def _should_cache_postings(self) -> bool:
+        need = self._postings_bytes() * self.CACHE_EXPANSION
+        capacity = self._storage_capacity_bytes()
+        if capacity <= 0:
+            return need <= self.POSTINGS_CACHE_MAX_BYTES * self.CACHE_EXPANSION
+        return need <= capacity * self.CACHE_STORAGE_FRACTION
 
     def cache(self, force: bool = False) -> "SearchIndex":
         """Persist the index tables in executor memory — amortizes the
         scan across repeated queries (the cluster-scale analogue:
         spark.catalog.cacheTable on the index tables). The postings
-        table is only cached below POSTINGS_CACHE_MAX_BYTES (see note
-        above) unless ``force=True``; doclens always cache."""
+        table is only cached when it fits the measured storage budget
+        (see note above) unless ``force=True``; doclens always cache."""
         posts, dls = self.postings, self.doclens
-        if force or self._postings_bytes() <= self.POSTINGS_CACHE_MAX_BYTES:
+        if force or self._should_cache_postings():
             self._postings_df = posts.cache()
             self._postings_df.count()
         self._doclens_df = dls.cache()
