@@ -221,6 +221,129 @@ STAGE_SCHEMA = StructType([
     StructField("doc_lens", BinaryType()),   # kind='d': f32-LE doc lens
 ])
 
+# final postings-table schema (order matches write_postings_table's select
+# and the driver-local writer, so fused-built files are bit-compatible)
+POSTINGS_COLS = ["term", "block_id", "postings", "df", "tf_total", "tf_max",
+                 "dl_min"]
+POSTINGS_SCHEMA = StructType([
+    StructField("term", StringType()),
+    StructField("block_id", LongType()),
+    StructField("postings", BinaryType()),
+    StructField("df", LongType()),
+    StructField("tf_total", LongType()),
+    StructField("tf_max", LongType()),
+    StructField("dl_min", LongType()),
+])
+
+# bound on the postings bytes a fused-build task yields per Arrow batch
+# (a plain binary Arrow column caps one batch at 2 GiB of payload)
+FUSED_SLICE_BYTES = 256 << 20
+
+
+def _ensure_parquet_dir(path: str, pa_schema) -> None:
+    """Guarantee ``path`` is a readable parquet dir: a write whose every
+    partition was empty produces no files, and ``spark.read.parquet``
+    then fails schema inference. Writes one empty single-row-group file."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    os.makedirs(path, exist_ok=True)
+    if any(True for _ in os.listdir(path) if _.endswith(".parquet")):
+        return
+    pq.write_table(pa.Table.from_pylist([], schema=pa_schema),
+                   os.path.join(path, "part-empty.parquet"),
+                   compression="zstd")
+
+
+def _make_partition_kernel(builder, doclens_dir: Optional[str] = None):
+    """Partition-level build kernel for ``mapInPandas``.
+
+    The input exchange places WHOLE doc blocks into each partition
+    (exact-placement ``repartition_exact`` on a block-derived fid), so
+    the per-block builder can run here without the extra
+    ``groupBy().applyInPandas`` hash exchange Spark would otherwise
+    insert (guide §2.4: the old path shuffled the full text twice —
+    once for balance, once for ENSURE_REQUIREMENTS — and the second
+    exchange re-introduced the balls-in-bins skew the first one fixed).
+
+    Two modes:
+      * ``doclens_dir=None`` — staged/resumable path: yield STAGE_SCHEMA
+        rows exactly as the old per-block ``applyInPandas`` did.
+      * ``doclens_dir=...`` — fused path: this task IS final postings
+        file ``partitionId``; it side-writes the partition's doclens
+        file (deterministic content + atomic rename, so task retries
+        are idempotent; per-partition corpus stats ride in the parquet
+        footer metadata) and yields the postings rows term-sorted, so
+        the enclosing job's parquet write lands them in the final
+        block-range layout with NO further shuffle (guide §8: heavy
+        bytes move exactly once).
+    """
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        batches = [pdf for pdf in it if len(pdf)]
+        if not batches:
+            return
+        pdf = (pd.concat(batches, ignore_index=True)
+               if len(batches) > 1 else batches[0])
+        pdf = pdf.sort_values(["block_id", "doc_id"], kind="stable")
+        parts = [builder(grp) for _, grp in pdf.groupby("block_id", sort=True)]
+        stage = pd.concat(parts, ignore_index=True)
+        if doclens_dir is None:
+            yield stage
+            return
+
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        posts = stage[stage["kind"] == "p"]
+        dls = stage[stage["kind"] == "d"]  # already in block_id order
+
+        # --- side-write this partition's doclens file (tiny: ~12B/doc) ---
+        fid = TaskContext.get().partitionId()
+        n_docs = int(sum(len(b) // 8 for b in dls["doc_ids"]))
+        # mirror the staged path's accumulation: f32 sum per block,
+        # accumulated in float64
+        total_tokens = float(sum(
+            float(np.frombuffer(b, dtype="<f4").sum())
+            for b in dls["doc_lens"]))
+        dl_schema = pa.schema([
+            ("block_id", pa.int64()), ("doc_ids", pa.binary()),
+            ("doc_lens", pa.binary()),
+        ]).with_metadata({"n_docs": str(n_docs),
+                          "total_tokens": repr(total_tokens)})
+        dl_table = pa.Table.from_pandas(
+            dls[["block_id", "doc_ids", "doc_lens"]]
+            .astype({"block_id": "int64"}),
+            schema=dl_schema, preserve_index=False)
+        final = os.path.join(doclens_dir, f"part-{fid:05d}.parquet")
+        tmp = os.path.join(doclens_dir,
+                           f".part-{fid:05d}-{uuid.uuid4().hex}.tmp")
+        pq.write_table(dl_table, tmp, row_group_size=max(1, len(dls)),
+                       compression="zstd")
+        os.replace(tmp, final)
+
+        # --- emit final postings rows: term-sorted (page min/max stats
+        # prune pushed term filters inside the single row group), sliced
+        # to bound Arrow batch payload ---
+        posts = posts.sort_values(["term", "block_id"], kind="stable")
+        out = posts[POSTINGS_COLS].astype(
+            {"block_id": "int64", "df": "int64", "tf_total": "int64",
+             "tf_max": "int64", "dl_min": "int64"}, errors="ignore")
+        if not len(out):
+            return
+        bytes_cum = out["postings"].map(len).to_numpy(dtype=np.int64).cumsum()
+        start = 0
+        while start < len(out):
+            stop = int(np.searchsorted(
+                bytes_cum, bytes_cum[start] + FUSED_SLICE_BYTES, "right"))
+            stop = max(stop, start + 1)
+            yield out.iloc[start:stop]
+            start = stop
+
+    return run
+
 
 def assign_doc_ids(df: DataFrame, order_col: str, num_partitions: Optional[int] = None) -> DataFrame:
     """Assign dense deterministic int64 ``doc_id`` ordered by ``order_col``.
@@ -229,6 +352,14 @@ def assign_doc_ids(df: DataFrame, order_col: str, num_partitions: Optional[int] 
     partition (one cheap job), then add per-partition offsets — no global
     window, no single-partition sort.
     """
+    return _assign_doc_ids_counted(df, order_col, num_partitions)[0]
+
+
+def _assign_doc_ids_counted(df: DataFrame, order_col: str,
+                            num_partitions: Optional[int] = None):
+    """(assigned_df, total_rows) — the sizes job already counts every
+    partition, so callers that need the corpus size (the fused build's
+    n_blocks) get it for free instead of re-running the pipeline."""
     num_partitions = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     part = df.repartitionByRange(num_partitions, F.col(order_col)) \
              .sortWithinPartitions(order_col)
@@ -260,7 +391,7 @@ def assign_doc_ids(df: DataFrame, order_col: str, num_partitions: Optional[int] 
             base += len(pdf)
             yield pdf
 
-    return part.mapInPandas(_assign, out_schema)
+    return part.mapInPandas(_assign, out_schema), acc
 
 
 # corpora at or below this many docs (and <= SMALL_BUILD_MAX_BYTES of
@@ -272,6 +403,48 @@ def assign_doc_ids(df: DataFrame, order_col: str, num_partitions: Optional[int] 
 # large builds are untouched.
 SMALL_BUILD_MAX_DOCS = 16384
 SMALL_BUILD_MAX_BYTES = 64 << 20
+
+# fused builds whose postings table is at most this size finalize the
+# term-sketch table driver-side (columnar read of ~KBs..MBs of metadata
+# columns); larger indexes run the distributed two-phase agg
+TS_LOCAL_MAX_POSTINGS_BYTES = 256 << 20
+
+
+def _write_term_stats_pdf(posts: pd.DataFrame, ts_dir: str,
+                          granularity: int) -> None:
+    """Aggregate per-(term, block) posting metadata rows into the
+    per-term sketch table, in pandas, and write ONE single-row-group
+    file. Shared by the driver-local build and the fused build's
+    driver-side finalize (gated on postings bytes)."""
+    import pyarrow as pa
+    ts_schema = pa.schema([
+        ("term", pa.string()), ("df", pa.int64()), ("tf_total", pa.int64()),
+        ("n_blocks", pa.int64()), ("grp_ids", pa.binary()),
+        ("grp_tf_max", pa.binary()), ("grp_dl_min", pa.binary())])
+    if len(posts):
+        p2 = posts.assign(grp=posts["block_id"].to_numpy(dtype=np.int64)
+                          // granularity)
+        agg = p2.groupby(["term", "grp"], sort=True).agg(
+            df=("df", "sum"), tf_total=("tf_total", "sum"),
+            tf_max=("tf_max", "max"), dl_min=("dl_min", "min"),
+            n_blocks=("block_id", "nunique")).reset_index()
+        rows = []
+        for term, g in agg.groupby("term", sort=True):
+            rows.append((
+                term, int(g["df"].sum()), int(g["tf_total"].sum()),
+                int(g["n_blocks"].sum()),
+                g["grp"].to_numpy(dtype=np.int64).astype("<i4").tobytes(),
+                g["tf_max"].to_numpy(dtype=np.int64).astype("<i4").tobytes(),
+                g["dl_min"].to_numpy(dtype=np.int64).astype("<i4").tobytes()))
+        ts_pdf = pd.DataFrame(rows, columns=[
+            "term", "df", "tf_total", "n_blocks", "grp_ids", "grp_tf_max",
+            "grp_dl_min"])
+    else:
+        ts_pdf = pd.DataFrame(columns=[
+            "term", "df", "tf_total", "n_blocks", "grp_ids", "grp_tf_max",
+            "grp_dl_min"])
+    _write_pq_single_rg(os.path.join(ts_dir, "part-00000.parquet"),
+                        ts_pdf, ts_schema)
 
 
 def _write_pq_single_rg(path: str, pdf: pd.DataFrame, schema) -> None:
@@ -354,34 +527,7 @@ def _build_index_local(spark, pdf: pd.DataFrame, index_path: str, builder,
     granularity = bounds_granularity(n_blocks)
     ts_dir = os.path.join(index_path, "term_stats")
     os.makedirs(ts_dir, exist_ok=True)
-    ts_schema = pa.schema([
-        ("term", pa.string()), ("df", pa.int64()), ("tf_total", pa.int64()),
-        ("n_blocks", pa.int64()), ("grp_ids", pa.binary()),
-        ("grp_tf_max", pa.binary()), ("grp_dl_min", pa.binary())])
-    if len(posts):
-        p2 = posts.assign(grp=posts["block_id"].to_numpy(dtype=np.int64)
-                          // granularity)
-        agg = p2.groupby(["term", "grp"], sort=True).agg(
-            df=("df", "sum"), tf_total=("tf_total", "sum"),
-            tf_max=("tf_max", "max"), dl_min=("dl_min", "min"),
-            n_blocks=("block_id", "nunique")).reset_index()
-        rows = []
-        for term, g in agg.groupby("term", sort=True):
-            rows.append((
-                term, int(g["df"].sum()), int(g["tf_total"].sum()),
-                int(g["n_blocks"].sum()),
-                g["grp"].to_numpy(dtype=np.int64).astype("<i4").tobytes(),
-                g["tf_max"].to_numpy(dtype=np.int64).astype("<i4").tobytes(),
-                g["dl_min"].to_numpy(dtype=np.int64).astype("<i4").tobytes()))
-        ts_pdf = pd.DataFrame(rows, columns=[
-            "term", "df", "tf_total", "n_blocks", "grp_ids", "grp_tf_max",
-            "grp_dl_min"])
-    else:
-        ts_pdf = pd.DataFrame(columns=[
-            "term", "df", "tf_total", "n_blocks", "grp_ids", "grp_tf_max",
-            "grp_dl_min"])
-    _write_pq_single_rg(os.path.join(ts_dir, "part-00000.parquet"),
-                        ts_pdf, ts_schema)
+    _write_term_stats_pdf(posts, ts_dir, granularity)
 
     num_docs = int(sum(len(b) // 8 for b in dls["doc_ids"]))
     total_tokens = float(sum(
@@ -516,6 +662,211 @@ def _make_block_builder(tokenizer_fn, docs_per_block: int, truncate: bool,
     return build_block
 
 
+def _plan_size_estimate(df: DataFrame) -> int:
+    """Catalyst's sizeInBytes estimate for ``df`` (for file sources: the
+    sum of input file sizes). Used ONLY to size output files when the
+    caller did not pass ``term_partitions`` — a wrong estimate changes
+    file sizes, never results. 0 when unavailable or when the source is
+    not file-backed (in-memory relations report a huge default)."""
+    try:
+        if not df.inputFiles():
+            return 0
+        return int(df._jdf.queryExecution().optimizedPlan()
+                   .stats().sizeInBytes())
+    except Exception:
+        return 0
+
+
+def _build_index_fused(spark, df: DataFrame, index_path: str, builder,
+                       docs_per_block: int, term_partitions: Optional[int],
+                       tokenizer_name: str, truncate: bool, t_start: float,
+                       tokenizer_fn, phases: dict,
+                       known_max_doc: Optional[int] = None):
+    """Single-pass distributed build (checkpoint_groups <= 1).
+
+    First-principles shape (guide §1.1/§8): the text must cross the
+    network once (to group whole doc blocks per output file) and the
+    index bytes must be written once. This path does exactly that:
+
+      1. ONE cheap column-pruned agg learns max(doc_id) => n_blocks.
+      2. ONE exchange places contiguous block ranges into
+         ``term_partitions`` partitions (exact placement — no sampling
+         pass, no skew), where the partition kernel tokenizes + encodes
+         its blocks, side-writes the partition's doclens file (tiny;
+         corpus stats ride in its parquet footer), and emits the
+         partition's postings rows term-sorted — which the SAME job's
+         parquet write lands as the final single-row-group
+         block-range files. No stage table, no second shuffle of index
+         bytes, no re-read of the corpus.
+      3. term_stats derive from the postings table's METADATA columns
+         (columnar scan skips the packed binary; same trick merge.py
+         uses) — a vocabulary-sized job.
+
+    The old staged path wrote the full index bytes to a stage table and
+    re-shuffled them into layout (plus a second accidental exchange of
+    the text, see _make_partition_kernel); it remains only for
+    checkpointed/resumable builds (checkpoint_groups > 1).
+    """
+    from .index import SearchIndex
+
+    # --- n_blocks from max(doc_id): column-pruned, and on parquet
+    # sources spark.sql.parquet.aggregatePushdown can answer it from
+    # footer statistics without scanning rows. Free when the caller
+    # assigned dense ids itself (order_col path). ---
+    t_p = time.time()
+    if known_max_doc is not None:
+        max_doc = known_max_doc
+    else:
+        max_doc = df.agg(F.max("doc_id")).collect()[0][0]
+    phases["n_blocks_agg"] = round(time.time() - t_p, 3)
+    n_blocks = int(max_doc // docs_per_block) + 1 if max_doc is not None else 1
+
+    if term_partitions is None:
+        # target ~64 MB postings files (same goal as the staged path,
+        # which sized from actual staged bytes). Here the layout must be
+        # fixed BEFORE the one pass, so size from the input estimate:
+        # compressed corpus bytes ~ compressed postings bytes (measured
+        # 0.8-1.3x on the bench corpora). Still data-sized, never
+        # core-count-sized.
+        est = _plan_size_estimate(df)
+        term_partitions = max(4, spark.sparkContext.defaultParallelism,
+                              -(-est // (64 << 20)) if est > 0 else 0)
+        # beyond the exact-placement cap (>= ~4 TB of index in one
+        # un-checkpointed build) clamp: files grow past the 64 MB target
+        # rather than widening the layout past the probe table; such
+        # builds should use checkpoint_groups > 1 anyway
+        term_partitions = min(term_partitions, PROBE_MAX_PARTITIONS)
+    assert term_partitions <= PROBE_MAX_PARTITIONS  # caller-routed (build_index)
+
+    granularity = bounds_granularity(n_blocks)
+    postings_dir = os.path.join(index_path, "postings")
+    doclens_dir = os.path.join(index_path, "doclens")
+    ts_dir = os.path.join(index_path, "term_stats")
+    import shutil as _sh
+    _sh.rmtree(doclens_dir, ignore_errors=True)
+    os.makedirs(doclens_dir, exist_ok=True)
+
+    # --- THE pass: text exchanged once into final-file partitions ---
+    t_p = time.time()
+    fid = F.floor(F.col("block_id") * F.lit(int(term_partitions))
+                  / F.lit(int(max(n_blocks, 1))))
+    dfp = repartition_exact(df, fid, term_partitions,
+                            range_fallback_cols=["block_id"])
+    kernel = _make_partition_kernel(builder, doclens_dir=doclens_dir)
+    dfp.mapInPandas(kernel, POSTINGS_SCHEMA) \
+        .write.mode("overwrite") \
+        .option("parquet.block.size", str(PARQUET_ROW_GROUP_BYTES)) \
+        .parquet(postings_dir)
+    # drop stray tmp files from failed/retried task attempts
+    for f in os.listdir(doclens_dir):
+        if f.endswith(".tmp"):
+            try:
+                os.remove(os.path.join(doclens_dir, f))
+            except OSError:
+                pass
+    phases["build_pass"] = round(time.time() - t_p, 3)
+
+    # empty-corpus guard: a write with zero rows leaves no readable files
+    import pyarrow as pa
+    _ensure_parquet_dir(postings_dir, pa.schema([
+        ("term", pa.string()), ("block_id", pa.int64()),
+        ("postings", pa.binary()), ("df", pa.int64()),
+        ("tf_total", pa.int64()), ("tf_max", pa.int64()),
+        ("dl_min", pa.int64())]))
+    _ensure_parquet_dir(doclens_dir, pa.schema([
+        ("block_id", pa.int64()), ("doc_ids", pa.binary()),
+        ("doc_lens", pa.binary())]))
+
+    # --- term sketches from the postings table's metadata columns (the
+    # packed binary column never leaves the parquet scan). Small
+    # indexes aggregate driver-side (pyarrow columnar read of the 6
+    # metadata columns — the binary stays on disk — then one pandas
+    # groupby; same code as the driver-local build), skipping a Spark
+    # job whose shuffle+gather fixed cost dwarfs a KB-sized sketch
+    # table. Large indexes run the distributed two-phase agg at a
+    # DATA-sized width. ---
+    t_p = time.time()
+    from . import fsutil
+
+    def _pq_bytes(root: str) -> int:
+        return sum(sz for _p, sz in fsutil.list_parquet_files(root))
+
+    postings_bytes = _pq_bytes(postings_dir)
+    if postings_bytes <= TS_LOCAL_MAX_POSTINGS_BYTES:
+        import pyarrow.parquet as pq
+        meta_tbl = pq.read_table(
+            postings_dir, columns=["term", "block_id", "df", "tf_total",
+                                   "tf_max", "dl_min"])
+        _sh.rmtree(ts_dir, ignore_errors=True)
+        os.makedirs(ts_dir, exist_ok=True)
+        _write_term_stats_pdf(meta_tbl.to_pandas(), ts_dir, granularity)
+    else:
+        posts_meta = spark.read.parquet(postings_dir).select(
+            "term", "block_id", "df", "tf_total", "tf_max", "dl_min")
+        # width sized from the index bytes (data-sized: identical layout
+        # at any core count), not from term_partitions — the sketch
+        # table is a small fraction of the postings bytes
+        ts_width = max(1, min(int(term_partitions),
+                              int(-(-postings_bytes // (64 << 20)))))
+        write_term_stats(posts_meta, ts_dir, ts_width, granularity)
+    _ensure_parquet_dir(ts_dir, pa.schema([
+        ("term", pa.string()), ("df", pa.int64()), ("tf_total", pa.int64()),
+        ("n_blocks", pa.int64()), ("grp_ids", pa.binary()),
+        ("grp_tf_max", pa.binary()), ("grp_dl_min", pa.binary())]))
+    phases["term_stats"] = round(time.time() - t_p, 3)
+
+    # --- corpus stats + alignment verification: one driver footer walk
+    # over the tables just written (bytes read: footers only) ---
+    t_p = time.time()
+    from . import fsutil
+    num_docs = 0
+    total_tokens = 0.0
+    for fp, _sz in fsutil.list_parquet_files(doclens_dir):
+        md = fsutil.parquet_file(fp).metadata.metadata or {}
+        num_docs += int(md.get(b"n_docs", b"0"))
+        total_tokens += float(md.get(b"total_tokens", b"0"))
+    srg = verify_single_row_group(postings_dir)
+    phases["stats_verify"] = round(time.time() - t_p, 3)
+
+    meta = {
+        "format_version": 4,
+        "tokenizer": tokenizer_name,
+        "docs_per_block": docs_per_block,
+        "truncate": truncate,
+        "num_docs": num_docs,
+        "avg_doc_len": (total_tokens / num_docs) if num_docs else 0.0,
+        "total_tokens": total_tokens,
+        "bounds_granularity": granularity,
+        "postings_single_row_group": bool(srg),
+        "build_secs": round(time.time() - t_start, 3),
+    }
+    with open(os.path.join(index_path, "meta.json"), "w") as fh:
+        json.dump(meta, fh, indent=2)
+
+    def _table_bytes(name: str) -> int:
+        total = 0
+        for root, _, files in os.walk(os.path.join(index_path, name)):
+            total += sum(os.path.getsize(os.path.join(root, f))
+                         for f in files if f.endswith(".parquet"))
+        return total
+
+    with open(os.path.join(index_path, "metrics.jsonl"), "a") as fh:
+        fh.write(json.dumps({
+            "stage": "finalize", "num_docs": num_docs,
+            "total_tokens": total_tokens,
+            "secs": meta["build_secs"],
+            "phases": phases,
+            "docs_per_sec": round(num_docs / max(meta["build_secs"], 1e-9), 1),
+            "tokens_per_sec": round(
+                total_tokens / max(meta["build_secs"], 1e-9), 1),
+            "fused_build": True,
+            "postings_bytes": _table_bytes("postings"),
+            "doclens_bytes": _table_bytes("doclens"),
+            "term_stats_bytes": _table_bytes("term_stats"),
+        }) + "\n")
+    return SearchIndex(spark, index_path, tokenizer=tokenizer_fn)
+
+
 def build_index(
     spark: SparkSession,
     corpus: DataFrame,
@@ -559,14 +910,19 @@ def build_index(
     t_start = time.time()
 
     in_col = tokens_col if tokens_col is not None else text_col
+    known_max_doc: Optional[int] = None  # threaded to the fused path
     if doc_id_col is not None:
         df = corpus.withColumnRenamed(doc_id_col, "doc_id") if doc_id_col != "doc_id" else corpus
         df = df.select(F.col("doc_id").cast("long"), F.col(in_col).alias("text"))
     else:
         if order_col is None:
             raise ValueError("need doc_id_col or order_col for deterministic doc ids")
-        df = assign_doc_ids(corpus.select(F.col(order_col), F.col(in_col).alias("text")), order_col)
+        df, _n_assigned = _assign_doc_ids_counted(
+            corpus.select(F.col(order_col), F.col(in_col).alias("text")),
+            order_col)
         df = df.select("doc_id", "text")
+        # dense ids 0..N-1: the fused path's n_blocks agg is free
+        known_max_doc = _n_assigned - 1 if _n_assigned else None
 
     df = df.withColumn("block_id", F.floor(F.col("doc_id") / F.lit(docs_per_block)))
 
@@ -576,27 +932,42 @@ def build_index(
 
     phases: dict = {}
 
-    if checkpoint_groups <= 1 and not resume:
+    if checkpoint_groups <= 1 and not resume and (
+            term_partitions is None
+            or term_partitions <= PROBE_MAX_PARTITIONS):
         # small-build gate via incremental limit-probe: take() executes
         # CollectLimit partition-by-partition, so a big corpus answers
         # after ~one input split instead of a full metadata scan (which
         # at 100 TB would be an entire extra pass over the text bytes —
-        # measured 4-6% of total build time at 4M docs)
+        # measured 4-6% of total build time at 4M docs). The probe reads
+        # ONLY doc_id — a big corpus never decompresses a single text
+        # page for the gate; small corpora pay one extra bounded job for
+        # the byte cap below.
         t_p = time.time()
-        # the probe also carries per-doc byte lengths, so row count, max
-        # doc_id AND the driver-pull byte cap all come from this ONE
-        # bounded job (text itself stays executor-side until eligibility
-        # is proven)
-        if tokens_col is None:
-            nb = F.octet_length("text")
-        else:
-            # pretokenized: estimate per-doc size as token bytes + array slack
-            nb = F.expr("aggregate(text, 0L, (a, x) -> a + octet_length(x) + 8L)")
-        probe = df.select("doc_id", nb.alias("nb")).take(SMALL_BUILD_MAX_DOCS + 1)
+        # overlap the fused path's max(doc_id) agg with the probe (two
+        # tiny independent jobs; guide §2.6) — on a small corpus the
+        # agg is over <= SMALL_BUILD_MAX_DOCS rows and its result is
+        # simply unused
+        from concurrent.futures import ThreadPoolExecutor
+        max_fut = None
+        pool = None
+        if known_max_doc is None:
+            pool = ThreadPoolExecutor(1)
+            max_fut = pool.submit(
+                lambda: df.agg(F.max("doc_id")).collect()[0][0])
+        probe = df.select("doc_id").take(SMALL_BUILD_MAX_DOCS + 1)
         phases["probe"] = round(time.time() - t_p, 3)
         if len(probe) <= SMALL_BUILD_MAX_DOCS:
+            if tokens_col is None:
+                nb = F.octet_length("text")
+            else:
+                # pretokenized: per-doc size ~ token bytes + array slack
+                nb = F.expr(
+                    "aggregate(text, 0L, (a, x) -> a + octet_length(x) + 8L)")
             max_doc = max((r["doc_id"] for r in probe), default=None)
-            total_bytes = sum(r["nb"] or 0 for r in probe)
+            total_bytes = df.select(nb.alias("nb")) \
+                .limit(SMALL_BUILD_MAX_DOCS + 1) \
+                .agg(F.sum("nb")).collect()[0][0] or 0
             n_blocks = int(max_doc // docs_per_block) + 1 if max_doc is not None else 1
             if total_bytes <= SMALL_BUILD_MAX_BYTES:
                 # driver-local fast path: identical layout, zero Spark jobs
@@ -610,21 +981,34 @@ def build_index(
                 os.makedirs(index_path, exist_ok=True)
                 tp = term_partitions or max(
                     1, min(4, spark.sparkContext.defaultParallelism))
+                if pool is not None:
+                    pool.shutdown(wait=False)
                 return _build_index_local(
                     spark, pdf, index_path, builder, docs_per_block, n_blocks, tp,
                     tokenizer_name, truncate, t_start, tokenizer_fn)
+        if max_fut is not None:
+            known_max_doc = max_fut.result()
+            pool.shutdown(wait=False)
+        return _build_index_fused(
+            spark, df, index_path, builder, docs_per_block,
+            term_partitions, tokenizer_name, truncate, t_start,
+            tokenizer_fn, phases, known_max_doc=known_max_doc)
 
-    # pre-partition by block so the per-block kernels get full cluster
-    # parallelism; groupBy reuses this partitioning, and an explicit
-    # count keeps AQE from coalescing the CPU-heavy python stages onto a
-    # few reducers. The width is sized from the session's shuffle width
-    # (a DATA/cluster-sized config), NOT from core count: the same job
-    # on the same input must produce the same layout and do the same
-    # work at N and 4N executors, or cluster-resize scaling measurements
-    # conflate core scaling with layout change (round-5 finding: the old
-    # 4*defaultParallelism coupling inflated stage CPU 39% at local[8]
-    # vs local[2] on identical input). A corpus with fewer blocks just
-    # leaves some partitions empty (cheap no-op tasks).
+    # staged (resumable) path: blocks are processed in checkpoint groups
+    # that commit independently. The per-group exchange uses exact
+    # round-robin block -> task placement (a raw hash exchange on
+    # block_id puts ~128 blocks into 32 partitions with balls-in-bins
+    # skew, heaviest task ~1.6x mean); the partition kernel then builds
+    # its complete blocks via mapInPandas — the old
+    # groupBy().applyInPandas here added a SECOND full text exchange
+    # (ENSURE_REQUIREMENTS hashpartitioning on block_id) that both
+    # doubled the shuffled bytes and re-introduced the skew the exact
+    # placement had just removed (guide §2.4; plans/r06/build_stage_*).
+    # The width is sized from the session's shuffle width (a
+    # DATA/cluster-sized config), NOT from core count: the same job on
+    # the same input must produce the same layout and do the same work
+    # at N and 4N executors (round-5 finding). A corpus with fewer
+    # blocks just leaves some partitions empty (cheap no-op tasks).
     if stage_partitions is None:
         # 2x the shuffle width: the stage is the CPU-heaviest phase, and
         # finer tasks let dynamic scheduling absorb per-task variance
@@ -632,13 +1016,6 @@ def build_index(
         # 4M corpus, identical CPU)
         stage_partitions = max(
             2 * int(spark.conf.get("spark.sql.shuffle.partitions")), 16)
-    # exact round-robin block -> task placement: a raw hash exchange on
-    # block_id puts ~128 blocks into 32 partitions with balls-in-bins
-    # skew (heaviest task ~1.6x mean); the probe exchange makes task
-    # loads exactly even
-    df = repartition_exact(
-        df, F.pmod(F.col("block_id"), F.lit(int(stage_partitions))),
-        stage_partitions, range_fallback_cols=["block_id"])
 
     stage_path = os.path.join(index_path, "stage")
     marker_dir = os.path.join(index_path, "_groups")
@@ -646,6 +1023,7 @@ def build_index(
 
     groups = max(1, checkpoint_groups)
     metrics_path = os.path.join(index_path, "metrics.jsonl")
+    stage_kernel = _make_partition_kernel(builder)
     t_stage = time.time()
     for g in range(groups):
         marker = os.path.join(marker_dir, f"group_{g}_of_{groups}.done")
@@ -653,7 +1031,13 @@ def build_index(
             continue
         g_start = time.time()
         part = df if groups == 1 else df.filter(F.pmod(F.col("block_id"), F.lit(groups)) == g)
-        staged = part.groupBy("block_id").applyInPandas(builder, STAGE_SCHEMA)
+        # exchange AFTER the group filter, so each group job shuffles
+        # only its own blocks' text (the old pre-loop exchange re-ran
+        # for every group job over the full corpus)
+        part = repartition_exact(
+            part, F.pmod(F.col("block_id"), F.lit(int(stage_partitions))),
+            stage_partitions, range_fallback_cols=["block_id"])
+        staged = part.mapInPandas(stage_kernel, STAGE_SCHEMA)
         # idempotent retry: each group owns a subdirectory and overwrites
         # it, so a group that crashed after a partial/complete write is
         # safely re-run on resume (no duplicate appends)

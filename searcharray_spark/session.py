@@ -49,6 +49,10 @@ def get_spark(app_name: str = "searcharray_spark", master: str | None = None,
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # MAX/MIN/COUNT over plain parquet columns answered from footer
+        # statistics (guide §6): the fused build's max(doc_id) probe
+        # becomes metadata-only instead of a column scan
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         # PySpark's error call-site capture walks the Python stack and
         # does a py4j roundtrip on EVERY DataFrame API call (plus a
         # one-time ~0.5s IPython import probe). An engine makes tens of
