@@ -662,6 +662,77 @@ def _make_block_builder(tokenizer_fn, docs_per_block: int, truncate: bool,
     return build_block
 
 
+# only walk input-file footers for the build gate when the scan is this
+# small; larger inputs decide via the plan-size estimate with zero I/O
+GATE_FOOTER_MAX_FILES = 64
+
+# optimized-plan node names that cannot INCREASE row count or byte size
+# relative to the scanned files (so footer stats stay upper bounds)
+_ROW_PRESERVING_NODES = ("Project", "Filter", "Relation", "LogicalRelation")
+
+
+def _scan_footer_stats(df: DataFrame, text_src_col: str,
+                       doc_src_col: str = "doc_id"):
+    """(rows_ub, raw_text_bytes_ub, exact_max_doc) from the input
+    parquet footers, or None when the plan shape makes footer stats
+    unusable.
+
+    Safe by construction: only plans composed of Project/Filter over a
+    single file scan are accepted — those can never have MORE rows or
+    bytes than the files, so the footer numbers are upper bounds for the
+    small-build gate (an overestimate merely routes a filtered-small
+    corpus to the distributed path, never the reverse).
+    ``raw_text_bytes_ub`` is the text column's total_uncompressed_size
+    (None when the column isn't found); ``exact_max_doc`` is the doc_id
+    column-statistics max, only returned when the plan has NO Filter
+    (a filter could remove the max row). Replaces two gate jobs with a
+    driver footer walk (bytes read: footers only)."""
+    from . import fsutil
+    try:
+        files = df.inputFiles()
+        if not files or len(files) > GATE_FOOTER_MAX_FILES:
+            return None
+        if not all(f.endswith(".parquet") for f in files):
+            return None
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        has_filter = False
+        for line in plan.splitlines():
+            node = line.lstrip(" +-:").split(" ", 1)[0]
+            if not node:
+                continue
+            if node not in _ROW_PRESERVING_NODES:
+                return None
+            if node == "Filter":
+                has_filter = True
+        rows = 0
+        text_bytes = 0
+        text_found = False
+        max_doc = None
+        stats_ok = not has_filter
+        for f in files:
+            md = fsutil.parquet_file(f).metadata
+            rows += md.num_rows
+            for rg in range(md.num_row_groups):
+                row_grp = md.row_group(rg)
+                for ci in range(row_grp.num_columns):
+                    col = row_grp.column(ci)
+                    name = col.path_in_schema.split(".", 1)[0]
+                    if name == text_src_col:
+                        text_bytes += col.total_uncompressed_size
+                        text_found = True
+                    elif name == doc_src_col and stats_ok:
+                        st = col.statistics
+                        if st is None or not st.has_min_max:
+                            stats_ok = False
+                        else:
+                            v = int(st.max)
+                            max_doc = v if max_doc is None else max(max_doc, v)
+        return (rows, text_bytes if text_found else None,
+                max_doc if stats_ok else None)
+    except Exception:
+        return None
+
+
 def _plan_size_estimate(df: DataFrame) -> int:
     """Catalyst's sizeInBytes estimate for ``df`` (for file sources: the
     sum of input file sizes). Used ONLY to size output files when the
@@ -753,10 +824,19 @@ def _build_index_fused(spark, df: DataFrame, index_path: str, builder,
     dfp = repartition_exact(df, fid, term_partitions,
                             range_fallback_cols=["block_id"])
     kernel = _make_partition_kernel(builder, doclens_dir=doclens_dir)
-    dfp.mapInPandas(kernel, POSTINGS_SCHEMA) \
-        .write.mode("overwrite") \
-        .option("parquet.block.size", str(PARQUET_ROW_GROUP_BYTES)) \
-        .parquet(postings_dir)
+    # AQE has nothing to optimize here (fixed REPARTITION_BY_NUM width,
+    # no joins, partition coalescing already disabled) but its stage
+    # materialization adds a scheduling round — measured ~0.1-0.2 s per
+    # pass at bench scale, pure overhead at any scale
+    aqe_prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        dfp.mapInPandas(kernel, POSTINGS_SCHEMA) \
+            .write.mode("overwrite") \
+            .option("parquet.block.size", str(PARQUET_ROW_GROUP_BYTES)) \
+            .parquet(postings_dir)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
     # drop stray tmp files from failed/retried task attempts
     for f in os.listdir(doclens_dir):
         if f.endswith(".tmp"):
@@ -935,57 +1015,85 @@ def build_index(
     if checkpoint_groups <= 1 and not resume and (
             term_partitions is None
             or term_partitions <= PROBE_MAX_PARTITIONS):
-        # small-build gate via incremental limit-probe: take() executes
-        # CollectLimit partition-by-partition, so a big corpus answers
-        # after ~one input split instead of a full metadata scan (which
-        # at 100 TB would be an entire extra pass over the text bytes —
-        # measured 4-6% of total build time at 4M docs). The probe reads
-        # ONLY doc_id — a big corpus never decompresses a single text
-        # page for the gate; small corpora pay one extra bounded job for
-        # the byte cap below.
+        # --- small-build gate, cheapest evidence first ---
+        # 1. plan-size estimate (no I/O): compressed input > 64 MB
+        #    already proves raw text > SMALL_BUILD_MAX_BYTES — big
+        #    corpora never run a single gate job.
+        # 2. input parquet footers (driver, footer bytes only): exact
+        #    row count upper bound + raw text bytes upper bound + (when
+        #    the plan has no Filter) the exact max doc_id — the common
+        #    "build from a parquet table" case decides the gate AND the
+        #    fused path's n_blocks with ZERO Spark jobs.
+        # 3. fallback probe jobs: an incremental take() of doc_id only
+        #    (CollectLimit answers after ~one split; no text pages are
+        #    decompressed), plus a bounded byte-sum job when small, with
+        #    the fused path's max(doc_id) agg overlapped on a thread
+        #    (guide §2.6).
         t_p = time.time()
-        # overlap the fused path's max(doc_id) agg with the probe (two
-        # tiny independent jobs; guide §2.6) — on a small corpus the
-        # agg is over <= SMALL_BUILD_MAX_DOCS rows and its result is
-        # simply unused
-        from concurrent.futures import ThreadPoolExecutor
+        est = _plan_size_estimate(df)
+        footer = (None if est > SMALL_BUILD_MAX_BYTES
+                  else _scan_footer_stats(df, in_col,
+                                          doc_src_col=doc_id_col or "doc_id"))
+        max_doc = None
+        total_bytes = None
+        is_small: Optional[bool] = None
+        if est > SMALL_BUILD_MAX_BYTES:
+            is_small = False
+        elif footer is not None:
+            rows_ub, text_bytes_ub, footer_max = footer
+            if known_max_doc is None:
+                known_max_doc = footer_max  # may be None (filtered scan)
+            if rows_ub > SMALL_BUILD_MAX_DOCS:
+                is_small = False
+            elif text_bytes_ub is not None:
+                is_small = text_bytes_ub <= SMALL_BUILD_MAX_BYTES
+            # else: rows small but text column not found -> probe bytes
         max_fut = None
         pool = None
-        if known_max_doc is None:
-            pool = ThreadPoolExecutor(1)
-            max_fut = pool.submit(
-                lambda: df.agg(F.max("doc_id")).collect()[0][0])
-        probe = df.select("doc_id").take(SMALL_BUILD_MAX_DOCS + 1)
-        phases["probe"] = round(time.time() - t_p, 3)
-        if len(probe) <= SMALL_BUILD_MAX_DOCS:
-            if tokens_col is None:
-                nb = F.octet_length("text")
+        if is_small is None:
+            from concurrent.futures import ThreadPoolExecutor
+            if known_max_doc is None:
+                pool = ThreadPoolExecutor(1)
+                max_fut = pool.submit(
+                    lambda: df.agg(F.max("doc_id")).collect()[0][0])
+            probe = df.select("doc_id").take(SMALL_BUILD_MAX_DOCS + 1)
+            if len(probe) <= SMALL_BUILD_MAX_DOCS:
+                if tokens_col is None:
+                    nb = F.octet_length("text")
+                else:
+                    # pretokenized: per-doc size ~ token bytes + slack
+                    nb = F.expr(
+                        "aggregate(text, 0L, (a, x) -> a + octet_length(x) + 8L)")
+                max_doc = max((r["doc_id"] for r in probe), default=None)
+                total_bytes = df.select(nb.alias("nb")) \
+                    .limit(SMALL_BUILD_MAX_DOCS + 1) \
+                    .agg(F.sum("nb")).collect()[0][0] or 0
+                is_small = total_bytes <= SMALL_BUILD_MAX_BYTES
             else:
-                # pretokenized: per-doc size ~ token bytes + array slack
-                nb = F.expr(
-                    "aggregate(text, 0L, (a, x) -> a + octet_length(x) + 8L)")
-            max_doc = max((r["doc_id"] for r in probe), default=None)
-            total_bytes = df.select(nb.alias("nb")) \
-                .limit(SMALL_BUILD_MAX_DOCS + 1) \
-                .agg(F.sum("nb")).collect()[0][0] or 0
-            n_blocks = int(max_doc // docs_per_block) + 1 if max_doc is not None else 1
-            if total_bytes <= SMALL_BUILD_MAX_BYTES:
-                # driver-local fast path: identical layout, zero Spark jobs
-                # past this toPandas — update segments, streaming
-                # micro-batches, and toy benches skip ~10 jobs of fixed
-                # scheduling overhead
-                pdf = df.select("doc_id", "text", "block_id").toPandas()
-                for sub in ("postings", "doclens", "term_stats"):
-                    import shutil as _sh
-                    _sh.rmtree(os.path.join(index_path, sub), ignore_errors=True)
-                os.makedirs(index_path, exist_ok=True)
-                tp = term_partitions or max(
-                    1, min(4, spark.sparkContext.defaultParallelism))
-                if pool is not None:
-                    pool.shutdown(wait=False)
-                return _build_index_local(
-                    spark, pdf, index_path, builder, docs_per_block, n_blocks, tp,
-                    tokenizer_name, truncate, t_start, tokenizer_fn)
+                is_small = False
+        phases["probe"] = round(time.time() - t_p, 3)
+        if is_small:
+            # driver-local fast path: identical layout, zero Spark jobs
+            # past this toPandas — update segments, streaming
+            # micro-batches, and toy benches skip the fixed scheduling
+            # overhead of distributed build jobs
+            pdf = df.select("doc_id", "text", "block_id").toPandas()
+            if max_doc is None:
+                max_doc = (int(pdf["doc_id"].max()) if len(pdf)
+                           else None)
+            n_blocks = (int(max_doc // docs_per_block) + 1
+                        if max_doc is not None else 1)
+            for sub in ("postings", "doclens", "term_stats"):
+                import shutil as _sh
+                _sh.rmtree(os.path.join(index_path, sub), ignore_errors=True)
+            os.makedirs(index_path, exist_ok=True)
+            tp = term_partitions or max(
+                1, min(4, spark.sparkContext.defaultParallelism))
+            if pool is not None:
+                pool.shutdown(wait=False)
+            return _build_index_local(
+                spark, pdf, index_path, builder, docs_per_block, n_blocks, tp,
+                tokenizer_name, truncate, t_start, tokenizer_fn)
         if max_fut is not None:
             known_max_doc = max_fut.result()
             pool.shutdown(wait=False)

@@ -61,4 +61,63 @@ def get_spark(app_name: str = "searcharray_spark", master: str | None = None,
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.ui.enabled", "false")
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _prewarm_python_workers(spark)
+    return spark
+
+
+_PREWARMED: set = set()
+
+
+def _prewarm_python_workers(spark: SparkSession) -> None:
+    """Spin up the session's Python worker pool once, at session
+    creation: one trivial mapInPandas task per core imports
+    numpy/pandas/pyarrow (and the kernel module) in each worker, so the
+    FIRST real python stage — an index build or a cold query — doesn't
+    pay ~0.3-0.8 s per concurrent worker of fork+import latency (guide
+    §4.5: heavyweight init once per task; this moves it to once per
+    worker POOL, amortized over the session's lifetime by
+    spark.python.worker.reuse). Also exercises Arrow serialization and
+    the noop write path, warming their JVM codegen. Opt out with
+    SPARK_GRAFT_PREWARM=0."""
+    if os.environ.get("SPARK_GRAFT_PREWARM", "1") != "1":
+        return
+    key = id(spark.sparkContext)
+    if key in _PREWARMED:
+        return
+    _PREWARMED.add(key)
+
+    def _warm(it):
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+        import pyarrow  # noqa: F401
+        try:  # kernel import: present unless shipped via --py-files only
+            from searcharray_spark import kernels  # noqa: F401
+        except Exception:
+            pass
+        for pdf in it:
+            yield pdf
+
+    try:
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+        n = max(1, spark.sparkContext.defaultParallelism)
+        spark.sparkContext.setJobDescription("python worker pool prewarm")
+        tmp = tempfile.mkdtemp(prefix="sa_prewarm_")
+        try:
+            # one tiny job through the engine's hot plan shape —
+            # exchange -> python kernel -> parquet write — so the first
+            # real build/query pays no whole-stage-codegen, shuffle
+            # subsystem, Arrow serializer, or parquet writer first-use
+            # costs either
+            (spark.range(2 * n, numPartitions=2)
+             .repartition(n, F.col("id"))
+             .mapInPandas(_warm, "id long")
+             .write.mode("overwrite").parquet(tmp))
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        spark.sparkContext.setJobDescription(None)
+    except Exception:
+        pass  # prewarm is best-effort; never block session creation
