@@ -31,8 +31,14 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
-    ArrayType, FloatType, IntegerType, LongType, StructField, StructType,
+    ArrayType, BooleanType, DoubleType, FloatType, IntegerType, LongType,
+    StringType, StructField, StructType,
 )
+
+try:  # classic (non-connect) DataFrame: the concrete implementation
+    from pyspark.sql.classic.dataframe import DataFrame as _BaseDataFrame
+except ImportError:  # pragma: no cover - older/connect layouts
+    _BaseDataFrame = DataFrame
 
 from . import fsutil
 from . import kernels as K
@@ -61,28 +67,117 @@ TOPK_MANY_SCHEMA = StructType([
 ])
 
 
-def _local_df(spark: SparkSession, pdf: pd.DataFrame,
-              schema: StructType) -> DataFrame:
-    """LocalRelation from a pandas frame — ALWAYS a LocalTableScan whose
-    collect() is job-free, even for 0 rows (plain createDataFrame falls
-    back to an RDD-backed plan for empty input, costing a real Spark job
-    per action — measured 0.25 s, the whole point of the driver-local
-    query path)."""
-    import pyarrow as pa
+def _arrow_schema_of(schema: StructType):
     cached = _arrow_schema_cache.get(id(schema))
     if cached is not None and cached[0] is schema:
-        arrow_schema = cached[1]
-    else:
-        from pyspark.sql.pandas.types import to_arrow_schema
-        arrow_schema = to_arrow_schema(schema)
-        # the cache pins the schema object, so its id stays valid
-        _arrow_schema_cache[id(schema)] = (schema, arrow_schema)
-    tbl = pa.Table.from_pandas(pdf, schema=arrow_schema,
+        return cached[1]
+    from pyspark.sql.pandas.types import to_arrow_schema
+    arrow_schema = to_arrow_schema(schema)
+    # the cache pins the schema object, so its id stays valid
+    _arrow_schema_cache[id(schema)] = (schema, arrow_schema)
+    return arrow_schema
+
+
+_arrow_schema_cache: dict = {}
+
+_LAZY_OK_TYPES = (LongType, IntegerType, FloatType, DoubleType, StringType,
+                  BooleanType)
+
+
+def _materialize_local_df(spark: SparkSession, pdf: pd.DataFrame,
+                          schema: StructType) -> DataFrame:
+    import pyarrow as pa
+    tbl = pa.Table.from_pandas(pdf, schema=_arrow_schema_of(schema),
                                preserve_index=False)
     return spark.createDataFrame(tbl, schema)
 
 
-_arrow_schema_cache: dict = {}
+def _pdf_to_rows(pdf: pd.DataFrame, schema: StructType) -> list:
+    """list[Row] exactly as Spark's collect() of the same LocalRelation
+    would return for primitive columns: numpy dtypes widen through
+    .tolist() the same way Arrow collect widens them (float32 -> the
+    identical double, int32/int64 -> int, bool -> bool)."""
+    from pyspark.sql import Row
+    factory = Row(*[f.name for f in schema.fields])
+    cols = [pdf[f.name].tolist() for f in schema.fields]
+    return [factory(*vals) for vals in zip(*cols)]
+
+
+class _LazyLocalFrame(_BaseDataFrame):
+    """DataFrame over a driver-held pandas result (driver-local query
+    path). ``collect()``/``toPandas()``/``count()`` serve the rows
+    directly — zero JVM round trips, the dominant cost of a small-index
+    query once the kernels run driver-side (profiled: ~2 ms kernel vs
+    ~35 ms createDataFrame+collect py4j fixed cost). ANY other use
+    (select, filter, join, explain, write, ...) transparently
+    materializes a real LocalRelation via the ``_jdf`` property, so the
+    object stays a fully functional DataFrame. Only built for all-
+    primitive schemas, where the pandas <-> Row/toPandas conversions
+    are exactly Spark's."""
+
+    def __new__(cls, *args, **kwargs):
+        # bypass DataFrame.__new__'s (jdf, session) dispatch signature
+        return object.__new__(cls)
+
+    def __init__(self, spark: SparkSession, pdf: pd.DataFrame,
+                 schema: StructType):
+        # mirrors DataFrame.__init__(jdf, session) attrs minus _jdf,
+        # which is lazy below
+        self._session = spark
+        self._sc = spark.sparkContext
+        self.is_cached = False
+        self._support_repr_html = False
+        self._llf_pdf = pdf
+        self._llf_schema = schema
+        self._llf_jdf = None
+
+    @property
+    def _jdf(self):
+        if self._llf_jdf is None:
+            self._llf_jdf = _materialize_local_df(
+                self._session, self._llf_pdf, self._llf_schema)._jdf
+        return self._llf_jdf
+
+    @_jdf.setter
+    def _jdf(self, value):
+        self._llf_jdf = value
+
+    @property
+    def schema(self) -> StructType:
+        return self._llf_schema
+
+    @property
+    def columns(self) -> list:
+        return [f.name for f in self._llf_schema.fields]
+
+    @property
+    def dtypes(self) -> list:
+        return [(f.name, f.dataType.simpleString())
+                for f in self._llf_schema.fields]
+
+    def collect(self) -> list:
+        return _pdf_to_rows(self._llf_pdf, self._llf_schema)
+
+    def toPandas(self) -> pd.DataFrame:
+        return self._llf_pdf.copy()
+
+    def count(self) -> int:
+        return len(self._llf_pdf)
+
+
+def _local_df(spark: SparkSession, pdf: pd.DataFrame,
+              schema: StructType) -> DataFrame:
+    """DataFrame for a driver-computed result — a _LazyLocalFrame for
+    primitive schemas (collect/toPandas with zero JVM round trips), else
+    an eager LocalRelation, which is still a LocalTableScan whose
+    collect() is job-free, even for 0 rows (plain createDataFrame falls
+    back to an RDD-backed plan for empty input, costing a real Spark job
+    per action — measured 0.25 s, the whole point of the driver-local
+    query path)."""
+    if all(isinstance(f.dataType, _LAZY_OK_TYPES)
+           for f in schema.fields):
+        return _LazyLocalFrame(spark, pdf, schema)
+    return _materialize_local_df(spark, pdf, schema)
 
 
 def _ub_of(entry, block_id: int) -> float:
