@@ -107,7 +107,8 @@ def main():
         # the serving protocol (index bytes are parallelism-independent;
         # build scaling is evidenced separately in bench_scaling.py), so
         # build at full width for wall-clock.
-        build_cpus = int(os.environ.get("BENCH_BUILD_CPUS", "32"))
+        build_cpus = int(os.environ.get(
+            "BENCH_BUILD_CPUS", str(os.cpu_count() or 32)))
         code = (
             "import sys, time\n"
             "sys.path.insert(0, %r)\n"

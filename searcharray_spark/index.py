@@ -534,16 +534,35 @@ class SearchIndex:
     CACHE_STORAGE_FRACTION = 0.5  # leave half the unified region to execution
 
     def _storage_capacity_bytes(self) -> int:
-        """Total BlockManager storage capacity across live executors
-        (driver only, in local mode). 0 when unavailable."""
+        """Total BlockManager storage capacity across live EXECUTORS.
+        In local mode the single entry is the driver=executor; in
+        cluster mode the driver's own BlockManager is excluded when
+        other entries exist (its storage holds no cached partitions, so
+        counting it would overstate the cache budget). 0 when the
+        internal API is unavailable (logged once: the gate then falls
+        back to the fixed POSTINGS_CACHE_MAX_BYTES cap)."""
         try:
             status = self.spark.sparkContext._jsc.sc().getExecutorMemoryStatus()
             it = status.iterator()
-            total = 0
+            entries = []
             while it.hasNext():
-                total += int(it.next()._2()._1())
-            return total
+                e = it.next()
+                entries.append((str(e._1()), int(e._2()._1())))
+            if len(entries) > 1:
+                # heuristic: the driver's BlockManagerId renders with
+                # "driver" in cluster mode
+                non_driver = [b for k, b in entries if "driver" not in k]
+                if non_driver:
+                    return sum(non_driver)
+            return sum(b for _k, b in entries)
         except Exception:
+            if not getattr(SearchIndex, "_capacity_probe_warned", False):
+                SearchIndex._capacity_probe_warned = True
+                import logging
+                logging.getLogger(__name__).warning(
+                    "executor memory-status probe failed (Spark internal "
+                    "API changed?); postings cache gate falls back to the "
+                    "fixed %d-byte cap", self.POSTINGS_CACHE_MAX_BYTES)
             return 0
 
     def _should_cache_postings(self) -> bool:
@@ -764,15 +783,23 @@ class SearchIndex:
         ``docs`` must carry (doc_id, text). Corpus stats are patched
         exactly (new segment totals replace the docs' old live lengths);
         with the lazy df corrections this keeps post-update BM25 scores
-        equal to a compacted index's — no idf staleness window."""
+        equal to a compacted index's — no idf staleness window.
+
+        Driver memory is bounded regardless of batch size (guide §5):
+        the update frame's ids are never collected — the pre-update live
+        stats come from one distributed agg over the TOUCHED blocks'
+        doclens (block-pruned broadcast join), and the tombstone rows
+        are written directly from the frame."""
         from .indexing import build_index
 
         self._check_writable()
-        epoch = self._next_epoch()
-        ids = [int(r["doc_id"]) for r in docs.select("doc_id").collect()]
-        if not ids:
+        if docs.select("doc_id").first() is None:
             return
-        live, lens = self._live_lens(np.asarray(ids, dtype=np.int64))
+        epoch = self._next_epoch()
+        # pre-update live stats of the batch ids — MUST run before the
+        # segment build (the new segment would otherwise patch the very
+        # lengths being replaced)
+        live_n, live_len_sum = self._live_stats_for(docs)
         # the segment build shells out to the local build pipeline; a
         # file:// index maps to its POSIX path, truly remote fails fast
         seg_path = fsutil.local_path(
@@ -783,16 +810,37 @@ class SearchIndex:
                     else self.meta["tokenizer"],
                     docs_per_block=self.docs_per_block,
                     truncate=bool(self.meta.get("truncate", False)))
-        tdf = self.spark.createDataFrame(
-            [(d, epoch) for d in ids], "doc_id long, seg long")
-        tdf.coalesce(1).write.mode("append").parquet(
-            fsutil.join(self.path, "tombstones"))
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.lit(epoch).cast("long").alias("seg")) \
+            .dropDuplicates(["doc_id"]) \
+            .coalesce(1).write.mode("append").parquet(
+                fsutil.join(self.path, "tombstones"))
         self._invalidate_caches()
         seg_meta = self._seg_meta(epoch)
         self._patch_stats(
-            int(seg_meta["num_docs"]) - int(live.sum()),
-            float(seg_meta.get("total_tokens") or 0.0) - float(lens[live].sum()),
+            int(seg_meta["num_docs"]) - live_n,
+            float(seg_meta.get("total_tokens") or 0.0) - live_len_sum,
             epoch=epoch, op="update")
+
+    def _live_stats_for(self, docs: DataFrame) -> tuple:
+        """(live_count, live_len_sum) of the frame's doc ids against the
+        CURRENT index state, computed distributively: the doclens scan
+        is pruned to the batch's blocks (broadcast join on block_id),
+        exploded with the same tombstone-exclusion / seg-priority rule
+        the query kernel uses (_docstats_from), and joined back to the
+        batch ids. Driver holds two scalars, never the id list."""
+        dpb = self.docs_per_block
+        ids = docs.select(F.col("doc_id").cast("long").alias("doc_id")) \
+            .dropDuplicates(["doc_id"])
+        touched = ids.select(
+            F.floor(F.col("doc_id") / F.lit(dpb)).cast("long")
+            .alias("block_id")).distinct()
+        pruned = self.doclens.join(F.broadcast(touched), "block_id")
+        row = self._docstats_from(pruned) \
+            .join(ids, "doc_id", "inner") \
+            .agg(F.count("*").alias("n"),
+                 F.sum("doc_len").alias("s")).collect()[0]
+        return int(row["n"]), float(row["s"] or 0.0)
 
     def _patch_stats(self, delta_docs: int, delta_tokens: float,
                      epoch: Optional[int] = None,
@@ -1095,6 +1143,12 @@ class SearchIndex:
         per-block doclens rows (not materialized — the packed form is the
         source of truth; this explode is only for API/oracle use).
         Update segments override a doc's length (highest seg wins)."""
+        return self._docstats_from(self.doclens)
+
+    def _docstats_from(self, doclens_df: DataFrame) -> DataFrame:
+        """docstats over an arbitrary (possibly block-pruned) doclens
+        frame — the pruned form lets update_docs compute live stats over
+        only the touched blocks instead of the whole corpus."""
         docs_per_block = self.docs_per_block
         schema = StructType([
             StructField("doc_id", LongType()),
@@ -1134,7 +1188,7 @@ class SearchIndex:
                         out["seg"] = int(seg)
                     yield pd.DataFrame(out)
 
-        stats = self.doclens.mapInPandas(_explode, schema)
+        stats = doclens_df.mapInPandas(_explode, schema)
         if has_segs:
             stats = stats.groupBy("doc_id").agg(
                 F.max_by("block_id", "seg").alias("block_id"),

@@ -814,6 +814,13 @@ def _build_index_fused(spark, df: DataFrame, index_path: str, builder,
     doclens_dir = os.path.join(index_path, "doclens")
     ts_dir = os.path.join(index_path, "term_stats")
     import shutil as _sh
+    # meta.json is the index's commit marker (loaders require it):
+    # dropping it FIRST means a build killed mid-pass leaves an
+    # unreadable index, never a stale meta over fresh partial tables
+    try:
+        os.remove(os.path.join(index_path, "meta.json"))
+    except OSError:
+        pass
     _sh.rmtree(doclens_dir, ignore_errors=True)
     os.makedirs(doclens_dir, exist_ok=True)
 
