@@ -542,18 +542,27 @@ class SearchIndex:
         internal API is unavailable (logged once: the gate then falls
         back to the fixed POSTINGS_CACHE_MAX_BYTES cap)."""
         try:
-            status = self.spark.sparkContext._jsc.sc().getExecutorMemoryStatus()
+            jsc = self.spark.sparkContext._jsc.sc()
+            status = jsc.getExecutorMemoryStatus()
             it = status.iterator()
             entries = []
             while it.hasNext():
                 e = it.next()
                 entries.append((str(e._1()), int(e._2()._1())))
             if len(entries) > 1:
-                # heuristic: the driver's BlockManagerId renders with
-                # "driver" in cluster mode
-                non_driver = [b for k, b in entries if "driver" not in k]
-                if non_driver:
-                    return sum(non_driver)
+                # cluster mode: exclude the driver's own BlockManager.
+                # Status keys are "host:port" strings (verified — they
+                # never literally say "driver"), so resolve the driver's
+                # hostPort explicitly; on any failure count everything
+                # (the documented overcount, biased permissive)
+                try:
+                    drv = str(jsc.env().blockManager()
+                              .blockManagerId().hostPort())
+                    non_driver = [b for k, b in entries if k != drv]
+                    if non_driver and len(non_driver) < len(entries):
+                        return sum(non_driver)
+                except Exception:
+                    pass
             return sum(b for _k, b in entries)
         except Exception:
             if not getattr(SearchIndex, "_capacity_probe_warned", False):
@@ -793,6 +802,19 @@ class SearchIndex:
         from .indexing import build_index
 
         self._check_writable()
+        # the batch frame is evaluated several times below (live stats,
+        # segment build, tombstone write): persist it so an expensive or
+        # nondeterministic upstream pipeline is computed once and every
+        # consumer sees the same rows
+        docs = docs.persist()
+        try:
+            self._update_docs_persisted(docs, text_col)
+        finally:
+            docs.unpersist()
+
+    def _update_docs_persisted(self, docs: DataFrame, text_col: str) -> None:
+        from .indexing import build_index
+
         if docs.select("doc_id").first() is None:
             return
         epoch = self._next_epoch()

@@ -279,13 +279,29 @@ def _make_partition_kernel(builder, doclens_dir: Optional[str] = None):
     """
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        batches = [pdf for pdf in it if len(pdf)]
-        if not batches:
+        # bucket incoming Arrow batches by block as they stream in, then
+        # build block by block, releasing each block's text after its
+        # postings are encoded: peak memory is the partition's text held
+        # ONCE plus a single block's build intermediates (a whole-
+        # partition concat+sort would hold the text twice and all
+        # blocks' intermediates together)
+        buckets: dict = {}
+        for pdf in it:
+            if not len(pdf):
+                continue
+            for b, grp in pdf.groupby("block_id", sort=False):
+                buckets.setdefault(int(b), []).append(grp)
+        if not buckets:
             return
-        pdf = (pd.concat(batches, ignore_index=True)
-               if len(batches) > 1 else batches[0])
-        pdf = pdf.sort_values(["block_id", "doc_id"], kind="stable")
-        parts = [builder(grp) for _, grp in pdf.groupby("block_id", sort=True)]
+        parts = []
+        for b in sorted(buckets):
+            pieces = buckets.pop(b)
+            grp = (pd.concat(pieces, ignore_index=True)
+                   if len(pieces) > 1 else pieces[0])
+            # doc_id order within the block, as the staged/local builds
+            # always presented it (deterministic builder output)
+            grp = grp.sort_values("doc_id", kind="stable")
+            parts.append(builder(grp))
         stage = pd.concat(parts, ignore_index=True)
         if doclens_dir is None:
             yield stage
@@ -673,20 +689,29 @@ _ROW_PRESERVING_NODES = ("Project", "Filter", "Relation", "LogicalRelation")
 
 def _scan_footer_stats(df: DataFrame, text_src_col: str,
                        doc_src_col: str = "doc_id"):
-    """(rows_ub, raw_text_bytes_ub, exact_max_doc) from the input
+    """(rows_ub, text_encoded_bytes, exact_max_doc) from the input
     parquet footers, or None when the plan shape makes footer stats
     unusable.
 
-    Safe by construction: only plans composed of Project/Filter over a
-    single file scan are accepted — those can never have MORE rows or
-    bytes than the files, so the footer numbers are upper bounds for the
-    small-build gate (an overestimate merely routes a filtered-small
-    corpus to the distributed path, never the reverse).
-    ``raw_text_bytes_ub`` is the text column's total_uncompressed_size
-    (None when the column isn't found); ``exact_max_doc`` is the doc_id
-    column-statistics max, only returned when the plan has NO Filter
-    (a filter could remove the max row). Replaces two gate jobs with a
-    driver footer walk (bytes read: footers only)."""
+    Only plans composed of Project/Filter over a single file scan are
+    accepted — those can never have MORE rows than the files, so
+    ``rows_ub`` is an upper bound for the small-build gate (an
+    overestimate merely routes a filtered-small corpus to the
+    distributed path, never the reverse).
+
+    ``text_encoded_bytes`` is the text column's total_uncompressed_size
+    — that is ENCODED (dictionary/RLE) bytes, which can be far SMALLER
+    than the decoded text (measured: 160 MB of duplicated text reported
+    as 22 KB), so it is valid ONLY as a "definitely big" signal
+    (encoded > cap ⇒ raw > cap), never as proof of smallness; the
+    byte-cap decision itself always runs the bounded octet_length job.
+
+    ``exact_max_doc`` is the doc_id column-statistics max, only
+    returned when the plan has NO Filter (a filter could remove the max
+    row) and the column is a physical parquet integer (string/float
+    stats would order lexicographically / inexactly). Replaces the gate
+    jobs for big corpora with a driver footer walk (bytes read: footers
+    only)."""
     from . import fsutil
     try:
         files = df.inputFiles()
@@ -722,7 +747,9 @@ def _scan_footer_stats(df: DataFrame, text_src_col: str,
                         text_found = True
                     elif name == doc_src_col and stats_ok:
                         st = col.statistics
-                        if st is None or not st.has_min_max:
+                        if (st is None or not st.has_min_max
+                                or col.physical_type not in
+                                ("INT32", "INT64")):
                             stats_ok = False
                         else:
                             v = int(st.max)
@@ -905,7 +932,6 @@ def _build_index_fused(spark, df: DataFrame, index_path: str, builder,
     # --- corpus stats + alignment verification: one driver footer walk
     # over the tables just written (bytes read: footers only) ---
     t_p = time.time()
-    from . import fsutil
     num_docs = 0
     total_tokens = 0.0
     for fp, _sz in fsutil.list_parquet_files(doclens_dir):
@@ -930,13 +956,6 @@ def _build_index_fused(spark, df: DataFrame, index_path: str, builder,
     with open(os.path.join(index_path, "meta.json"), "w") as fh:
         json.dump(meta, fh, indent=2)
 
-    def _table_bytes(name: str) -> int:
-        total = 0
-        for root, _, files in os.walk(os.path.join(index_path, name)):
-            total += sum(os.path.getsize(os.path.join(root, f))
-                         for f in files if f.endswith(".parquet"))
-        return total
-
     with open(os.path.join(index_path, "metrics.jsonl"), "a") as fh:
         fh.write(json.dumps({
             "stage": "finalize", "num_docs": num_docs,
@@ -947,9 +966,9 @@ def _build_index_fused(spark, df: DataFrame, index_path: str, builder,
             "tokens_per_sec": round(
                 total_tokens / max(meta["build_secs"], 1e-9), 1),
             "fused_build": True,
-            "postings_bytes": _table_bytes("postings"),
-            "doclens_bytes": _table_bytes("doclens"),
-            "term_stats_bytes": _table_bytes("term_stats"),
+            "postings_bytes": postings_bytes,
+            "doclens_bytes": _pq_bytes(doclens_dir),
+            "term_stats_bytes": _pq_bytes(ts_dir),
         }) + "\n")
     return SearchIndex(spark, index_path, tokenizer=tokenizer_fn)
 
@@ -1042,19 +1061,26 @@ def build_index(
                   else _scan_footer_stats(df, in_col,
                                           doc_src_col=doc_id_col or "doc_id"))
         max_doc = None
-        total_bytes = None
+        rows_maybe_small = True  # until proven otherwise
         is_small: Optional[bool] = None
         if est > SMALL_BUILD_MAX_BYTES:
+            # compressed input beyond the cap => raw text beyond the cap
             is_small = False
         elif footer is not None:
-            rows_ub, text_bytes_ub, footer_max = footer
+            rows_ub, text_enc_bytes, footer_max = footer
             if known_max_doc is None:
                 known_max_doc = footer_max  # may be None (filtered scan)
             if rows_ub > SMALL_BUILD_MAX_DOCS:
                 is_small = False
-            elif text_bytes_ub is not None:
-                is_small = text_bytes_ub <= SMALL_BUILD_MAX_BYTES
-            # else: rows small but text column not found -> probe bytes
+            elif (text_enc_bytes is not None
+                    and text_enc_bytes > SMALL_BUILD_MAX_BYTES):
+                # encoded bytes already exceed the cap => raw does too.
+                # (The converse NEVER proves smallness: dictionary/RLE
+                # encoding can shrink the footer number by orders of
+                # magnitude below the decoded text.)
+                is_small = False
+            # else: row count small — raw byte cap still needs the
+            # bounded job below
         max_fut = None
         pool = None
         if is_small is None:
@@ -1063,15 +1089,18 @@ def build_index(
                 pool = ThreadPoolExecutor(1)
                 max_fut = pool.submit(
                     lambda: df.agg(F.max("doc_id")).collect()[0][0])
-            probe = df.select("doc_id").take(SMALL_BUILD_MAX_DOCS + 1)
-            if len(probe) <= SMALL_BUILD_MAX_DOCS:
+            if footer is None:
+                probe = df.select("doc_id").take(SMALL_BUILD_MAX_DOCS + 1)
+                rows_maybe_small = len(probe) <= SMALL_BUILD_MAX_DOCS
+                max_doc = (max((r["doc_id"] for r in probe), default=None)
+                           if rows_maybe_small else None)
+            if rows_maybe_small:
                 if tokens_col is None:
                     nb = F.octet_length("text")
                 else:
                     # pretokenized: per-doc size ~ token bytes + slack
                     nb = F.expr(
                         "aggregate(text, 0L, (a, x) -> a + octet_length(x) + 8L)")
-                max_doc = max((r["doc_id"] for r in probe), default=None)
                 total_bytes = df.select(nb.alias("nb")) \
                     .limit(SMALL_BUILD_MAX_DOCS + 1) \
                     .agg(F.sum("nb")).collect()[0][0] or 0
