@@ -549,18 +549,21 @@ class SearchIndex:
             while it.hasNext():
                 e = it.next()
                 entries.append((str(e._1()), int(e._2()._1())))
-            if len(entries) > 1:
+            master = str(self.spark.sparkContext.master or "")
+            if not master.startswith("local"):
                 # cluster mode: exclude the driver's own BlockManager.
                 # Status keys are "host:port" strings (verified — they
                 # never literally say "driver"), so resolve the driver's
                 # hostPort explicitly; on any failure count everything
-                # (the documented overcount, biased permissive)
+                # (the documented overcount, biased permissive). A
+                # driver-only listing (executors not yet registered /
+                # dynamic allocation at zero) reports 0 = unknown, so
+                # the gate falls back to the fixed cap instead of
+                # sizing the cache against driver memory.
                 try:
                     drv = str(jsc.env().blockManager()
                               .blockManagerId().hostPort())
-                    non_driver = [b for k, b in entries if k != drv]
-                    if non_driver and len(non_driver) < len(entries):
-                        return sum(non_driver)
+                    return sum(b for k, b in entries if k != drv)
                 except Exception:
                     pass
             return sum(b for _k, b in entries)
@@ -805,23 +808,30 @@ class SearchIndex:
         # the batch frame is evaluated several times below (live stats,
         # segment build, tombstone write): persist it so an expensive or
         # nondeterministic upstream pipeline is computed once and every
-        # consumer sees the same rows
-        docs = docs.persist()
+        # consumer sees the same rows. Respect a caller's own cache —
+        # unpersisting here would silently drop it (CacheManager keys on
+        # the logical plan).
+        already_cached = docs.storageLevel.useMemory \
+            or docs.storageLevel.useDisk
+        if not already_cached:
+            docs = docs.persist()
         try:
             self._update_docs_persisted(docs, text_col)
         finally:
-            docs.unpersist()
+            if not already_cached:
+                docs.unpersist()
 
     def _update_docs_persisted(self, docs: DataFrame, text_col: str) -> None:
         from .indexing import build_index
 
-        if docs.select("doc_id").first() is None:
+        # ONE job answers batch emptiness AND the pre-update live stats
+        # of the batch ids — which MUST run before the segment build
+        # (the new segment would otherwise patch the very lengths being
+        # replaced)
+        n_ids, live_n, live_len_sum = self._live_stats_for(docs)
+        if n_ids == 0:
             return
         epoch = self._next_epoch()
-        # pre-update live stats of the batch ids — MUST run before the
-        # segment build (the new segment would otherwise patch the very
-        # lengths being replaced)
-        live_n, live_len_sum = self._live_stats_for(docs)
         # the segment build shells out to the local build pipeline; a
         # file:// index maps to its POSIX path, truly remote fails fast
         seg_path = fsutil.local_path(
@@ -845,12 +855,14 @@ class SearchIndex:
             epoch=epoch, op="update")
 
     def _live_stats_for(self, docs: DataFrame) -> tuple:
-        """(live_count, live_len_sum) of the frame's doc ids against the
-        CURRENT index state, computed distributively: the doclens scan
-        is pruned to the batch's blocks (broadcast join on block_id),
-        exploded with the same tombstone-exclusion / seg-priority rule
-        the query kernel uses (_docstats_from), and joined back to the
-        batch ids. Driver holds two scalars, never the id list."""
+        """(n_ids, live_count, live_len_sum) for the frame's doc ids
+        against the CURRENT index state, computed distributively: the
+        doclens scan is pruned to the batch's blocks (broadcast join on
+        block_id), exploded with the same tombstone-exclusion /
+        seg-priority rule the query kernel uses (_docstats_from), and
+        left-joined back to the batch ids — one job answers the batch
+        size AND its live stats. Driver holds three scalars, never the
+        id list."""
         dpb = self.docs_per_block
         ids = docs.select(F.col("doc_id").cast("long").alias("doc_id")) \
             .dropDuplicates(["doc_id"])
@@ -858,11 +870,11 @@ class SearchIndex:
             F.floor(F.col("doc_id") / F.lit(dpb)).cast("long")
             .alias("block_id")).distinct()
         pruned = self.doclens.join(F.broadcast(touched), "block_id")
-        row = self._docstats_from(pruned) \
-            .join(ids, "doc_id", "inner") \
-            .agg(F.count("*").alias("n"),
+        row = ids.join(self._docstats_from(pruned), "doc_id", "left") \
+            .agg(F.count("*").alias("n_ids"),
+                 F.count("doc_len").alias("n"),
                  F.sum("doc_len").alias("s")).collect()[0]
-        return int(row["n"]), float(row["s"] or 0.0)
+        return int(row["n_ids"]), int(row["n"]), float(row["s"] or 0.0)
 
     def _patch_stats(self, delta_docs: int, delta_tokens: float,
                      epoch: Optional[int] = None,

@@ -1181,10 +1181,18 @@ def build_index(
                            else None)
             n_blocks = (int(max_doc // docs_per_block) + 1
                         if max_doc is not None else 1)
+            os.makedirs(index_path, exist_ok=True)
+            # meta.json is the commit marker: drop it BEFORE touching
+            # any table dir, so a rebuild killed mid-write leaves an
+            # unreadable index instead of stale meta over partial
+            # tables (same invariant as the fused path)
+            try:
+                os.remove(os.path.join(index_path, "meta.json"))
+            except OSError:
+                pass
             for sub in ("postings", "doclens", "term_stats"):
                 import shutil as _sh
                 _sh.rmtree(os.path.join(index_path, sub), ignore_errors=True)
-            os.makedirs(index_path, exist_ok=True)
             tp = term_partitions or max(
                 1, min(4, spark.sparkContext.defaultParallelism))
             if pool is not None:

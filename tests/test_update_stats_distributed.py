@@ -25,10 +25,11 @@ def _old_style(idx, ids):
 def test_live_stats_matches_live_lens(idx, spark):
     ids = [0, 5, 63, 64, 200, 799, 1234]  # 1234 doesn't exist
     docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
-    got = idx._live_stats_for(docs)
+    n_ids, live_n, live_sum = idx._live_stats_for(docs)
     want = _old_style(idx, ids)
-    assert got[0] == want[0]
-    assert got[1] == pytest.approx(want[1], abs=1e-6)
+    assert n_ids == len(ids)
+    assert live_n == want[0]
+    assert live_sum == pytest.approx(want[1], abs=1e-6)
 
 
 def test_live_stats_after_delete_and_update(idx, spark):
@@ -39,10 +40,11 @@ def test_live_stats_after_delete_and_update(idx, spark):
     idx.update_docs(upd)
     ids = [0, 5, 63, 200, 799]
     docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
-    got = idx._live_stats_for(docs)
+    n_ids, live_n, live_sum = idx._live_stats_for(docs)
     want = _old_style(idx, ids)
-    assert got[0] == want[0]          # deleted docs not live
-    assert got[1] == pytest.approx(want[1], abs=1e-6)
+    assert n_ids == len(ids)
+    assert live_n == want[0]          # deleted docs not live
+    assert live_sum == pytest.approx(want[1], abs=1e-6)
 
 
 def test_mass_update_stats_exact(idx, spark):
