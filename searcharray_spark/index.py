@@ -1017,9 +1017,10 @@ class SearchIndex:
         tomb = self._tombstones()
         if not tomb or not terms:
             return {}
-        if self._local_query_ok():
+        if self._local_query_ok(extended=True):
             # small index: identical exclusion math over the
-            # driver-loaded postings rows (no job)
+            # driver-loaded postings rows (no job; bounded by the
+            # queried terms' rows in tombstoned blocks)
             out: dict = {}
             store = self._local_postings()
             for t in terms:
@@ -1085,6 +1086,7 @@ class SearchIndex:
         self._dl_capacity = None
         self._dl_table = None
         self._local_ok = None
+        self._local_ok_ext = None
         self._local_posts = None
         self._local_ts = None
         self._postings_df = None
@@ -1251,7 +1253,7 @@ class SearchIndex:
                    if t not in self._sketch_cache]
         if missing:
             cols = ["term", "df", "grp_ids", "grp_tf_max", "grp_dl_min"]
-            if self._local_query_ok():
+            if self._local_query_ok(extended=True):  # metadata-sized read
                 # small index: the whole term_stats table was pyarrow-read
                 # once (no Spark job); serve the missing terms from it
                 collected = [r for t in missing
@@ -1411,13 +1413,23 @@ class SearchIndex:
     # (tests/test_local_query.py). A 1-block toy index stops paying the
     # ~0.2-0.7 s Spark job floor per query; big indexes never reach the
     # file walk (capacity gate first).
-    LOCAL_QUERY_MAX_DOCS = 1 << 18
-    LOCAL_QUERY_MAX_BYTES = 64 << 20
+    #
+    # The byte cap is per QUERY SHAPE: term/phrase/OR kernels stay ahead
+    # of the distributed job floor well past 64 MB (measured at a 107 MB
+    # / 500k-doc index on local[32]: term_hot 0.42 s distributed vs
+    # 0.09 s driver-local, or_query 0.92 vs 0.14), so they use the
+    # EXTENDED cap; the slop span kernel's serial cost on hot terms
+    # crosses over much earlier (same index: 0.39 s distributed vs
+    # 0.88 s driver-local), so slop queries keep the strict cap and go
+    # distributed beyond it.
+    LOCAL_QUERY_MAX_DOCS = 1 << 21
+    LOCAL_QUERY_MAX_BYTES = 64 << 20            # all shapes incl. slop
+    LOCAL_QUERY_EXTENDED_MAX_BYTES = 256 << 20  # non-slop shapes
 
-    def _local_query_ok(self) -> bool:
+    def _local_query_ok(self, extended: bool = False) -> bool:
         if getattr(self, "_local_ok", None) is None:
-            ok = self._doclens_capacity() <= self.LOCAL_QUERY_MAX_DOCS
-            if ok:
+            sz = None
+            if self._doclens_capacity() <= self.LOCAL_QUERY_MAX_DOCS:
                 sz = 0
                 roots = [fsutil.join(self.path, "postings")]
                 roots += [fsutil.join(self.path, "updates",
@@ -1425,10 +1437,16 @@ class SearchIndex:
                           for s in self._update_segs()]
                 for root in roots:
                     sz += sum(b for _, b in fsutil.list_parquet_files(root))
-                    if sz > self.LOCAL_QUERY_MAX_BYTES:
+                    if sz > self.LOCAL_QUERY_EXTENDED_MAX_BYTES:
                         break
-                ok = sz <= self.LOCAL_QUERY_MAX_BYTES
-            self._local_ok = ok
+            self._local_ok = (sz is not None
+                              and sz <= self.LOCAL_QUERY_MAX_BYTES)
+            self._local_ok_ext = (sz is not None
+                                  and sz <= self.LOCAL_QUERY_EXTENDED_MAX_BYTES)
+        if extended:
+            # tests/tools may force _local_ok directly; honor that as
+            # the answer for both shapes when _local_ok_ext is absent
+            return getattr(self, "_local_ok_ext", self._local_ok)
         return self._local_ok
 
     def _local_postings(self) -> dict:
@@ -1785,8 +1803,9 @@ class SearchIndex:
                 zip(left["term"].tolist(), left["postings"].tolist(), segs),
                 block_id)
 
-        if candidates is None and self._local_query_ok():
-            # driver-local fast path (gate: whole postings table tiny):
+        if candidates is None and self._local_query_ok(extended=slop == 0):
+            # driver-local fast path (gate: whole postings table tiny;
+            # slop keeps the strict cap — see _local_query_ok):
             # run the SAME merge_packed/score_block kernels on
             # driver-loaded rows — zero Spark jobs, bit-identical
             # results (tests/test_local_query.py) as a LocalRelation.
@@ -1952,7 +1971,8 @@ class SearchIndex:
         the whole query instead of a TakeOrdered job over the
         LocalRelation."""
         if kw.pop("candidates", None) is not None \
-                or not self._local_query_ok():
+                or not self._local_query_ok(
+                    extended=kw.get("slop", 0) == 0):
             return None
         return self._hits(tokens, _as_pandas=True, **kw)
 
@@ -2184,7 +2204,7 @@ class SearchIndex:
         # WAND's chunked-phase bookkeeping only adds overhead there.
         # or_combine is always valid driver-side (every token of a block
         # is scored in one call by construction).
-        if self._local_query_ok():
+        if self._local_query_ok(extended=True):
             pdf = self._hits(tokens_list, similarity=similarity,
                              or_combine=True, _as_pandas=True)
             out = self._local_topk_df(pdf, k)
@@ -2349,7 +2369,7 @@ class SearchIndex:
                                   for s, e in zip(starts[:-1], starts[1:])],
                     })
 
-        if self._local_query_ok():
+        if self._local_query_ok(extended=True):
             # driver-local path: same decode_rows generator over the
             # driver-loaded posting rows (zero Spark jobs)
             rows = self._local_postings().get(term, [])

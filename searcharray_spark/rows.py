@@ -215,7 +215,7 @@ def _run_block_kernel(idx, per_block, schema, want: Optional[np.ndarray],
         base = b * dpb
         return want[(want >= base) & (want < base + dpb)] - base
 
-    if idx._local_query_ok():
+    if idx._local_query_ok(extended=True):
         blocks = ({int(d) // dpb for d in want} if want is not None else None)
         outs = []
         for b, rows in sorted(_local_block_rows(idx, blocks).items()):

@@ -107,3 +107,33 @@ def test_candidates_still_use_spark_path(spark, idx_path):
     full = {r[0]: r[1] for r in idx.score("bar").collect()}
     for d, s in rows:
         assert s == full[d]
+
+
+def test_shape_aware_local_gate(spark, tmp_path):
+    """Between the strict and extended byte caps, term/phrase/OR queries
+    take the driver-local path while slop goes distributed — and both
+    return identical results."""
+    import searcharray_spark as sa
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i % 7} gamma w{i % 5}") for i in range(3000)],
+        "doc_id long, text string")
+    idx = sa.build_index(spark, docs, str(tmp_path / "gate_idx"),
+                         doc_id_col="doc_id", docs_per_block=256)
+    # force the index "between the caps"
+    idx.LOCAL_QUERY_MAX_BYTES = 0
+    idx.LOCAL_QUERY_EXTENDED_MAX_BYTES = 1 << 30
+    assert idx._local_query_ok(extended=True)
+    assert not idx._local_query_ok()
+    # non-slop: local (lazy frame, no jobs); slop: distributed
+    from searcharray_spark.index import _LazyLocalFrame
+    t = idx.top_k("alpha", k=5)
+    assert isinstance(t, _LazyLocalFrame)
+    s = idx.top_k(["alpha", "beta"], k=5, slop=1)
+    assert not isinstance(s, _LazyLocalFrame)
+    # results identical to an all-local handle
+    idx2 = sa.SearchIndex(spark, str(tmp_path / "gate_idx"))
+    assert sorted(map(tuple, s.collect())) == \
+        sorted(map(tuple, idx2.top_k(["alpha", "beta"], k=5,
+                                     slop=1).collect()))
+    assert sorted(map(tuple, t.collect())) == \
+        sorted(map(tuple, idx2.top_k("alpha", k=5).collect()))

@@ -235,13 +235,15 @@ def test_flagged_custom_similarity_is_pruned(canonical_index):
         .orderBy(F.desc("score"), F.asc("doc_id")).limit(5).collect()
     # the driver-local path skips WAND on tiny indexes; pin the
     # distributed path — the pruning machinery is what's under test
-    prev = canonical_index._local_ok
+    prev = (canonical_index._local_ok,
+            getattr(canonical_index, "_local_ok_ext", None))
     canonical_index._local_ok = False
+    canonical_index._local_ok_ext = False
     try:
         pruned = canonical_index.top_k_pruned(["bar", "foo"], k=5,
                                               similarity=custom)
         assert pruned._wand_blocks_scanned >= 0  # pruning ran
         got = pruned.collect()
     finally:
-        canonical_index._local_ok = prev
+        canonical_index._local_ok, canonical_index._local_ok_ext = prev
     assert [r["doc_id"] for r in got] == [r["doc_id"] for r in exhaustive]
